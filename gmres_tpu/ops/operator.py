@@ -1,0 +1,79 @@
+"""Linear-operator pytrees.
+
+jit-friendly representation of "a callable with device state": the state
+travels as pytree data (so the XLA program is cached across calls with the
+same structure), while the behavior (the function/type) is static metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+
+from gmres_tpu.ops.spmv import spmv as _spmv
+
+__all__ = ["FnOp", "MatOp", "ComposeOp", "IdentityOp", "as_operator", "identity"]
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=["fn"])
+@dataclasses.dataclass(frozen=True)
+class FnOp:
+    """Wrap a plain callable (no device state) as an operator pytree."""
+
+    fn: Callable
+
+    def __call__(self, v):
+        return self.fn(v)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["A"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class MatOp:
+    """y = A @ x for any gmres_tpu sparse format."""
+
+    A: Any
+
+    def __call__(self, v):
+        return _spmv(self.A, v)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["outer", "inner"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class ComposeOp:
+    """(outer . inner)(v)."""
+
+    outer: Any
+    inner: Any
+
+    def __call__(self, v):
+        return self.outer(self.inner(v))
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class IdentityOp:
+    def __call__(self, v):
+        return v
+
+
+identity = IdentityOp()
+
+
+def as_operator(A) -> Any:
+    """Coerce a matrix / callable / operator / None into an operator pytree."""
+    if A is None:
+        return identity
+    if hasattr(A, "shape") and not callable(A):
+        return MatOp(A)
+    if isinstance(A, (FnOp, MatOp, ComposeOp, IdentityOp)):
+        return A
+    if dataclasses.is_dataclass(A) and callable(A):
+        # registered preconditioner pytrees (JacobiPrecond, AinvPrecond, ...)
+        return A
+    if callable(A):
+        return FnOp(A)
+    return MatOp(A)

@@ -1,0 +1,84 @@
+"""SpMV for every device format, with one dispatching entry point.
+
+TPU-native replacement of the reference's SpMV layer (SpMV_kernel.cu half-warp
+CSR kernel + inspector-executor variants, SpMV_inspect.cpp). The inspector's
+job -- bound each row-block's x-footprint so it can be staged in fast memory --
+is done *statically* here: ELL fixes nnz/row, DIA fixes the footprint to a
+shifted window, and the Pallas kernels (pallas_spmv.py) stage x in VMEM.
+
+All functions are jit-safe, vmap-safe (over x), and differentiable.
+"""
+
+from __future__ import annotations
+
+from functools import singledispatch
+
+import jax
+import jax.numpy as jnp
+
+from gmres_tpu.ops.formats import DeviceCOO, DeviceCSR, DiaMatrix, EllMatrix
+
+__all__ = ["spmv", "ell_spmv", "dia_spmv", "coo_spmv", "csr_spmv"]
+
+
+def ell_spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for padded-row ELL: gather + multiply + row-reduce.
+
+    Output has the logical row count (padding rows dropped).
+    """
+    n = A.shape[0]
+    xg = jnp.take(x, A.cols, axis=0)  # (R, K)
+    y = jnp.sum(A.data * xg, axis=1)
+    return y[:n]
+
+
+def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for DIA: ndiag shifted elementwise multiplies, no gathers.
+
+    For each offset d: y[i] += data[d, i] * x[i + d] (in-bounds entries only;
+    out-of-range positions hold zero coefficients by construction).
+    """
+    n, nc = A.shape
+    # Pad x so every shifted read is in bounds: index i + d + maxneg.
+    maxneg = max(0, -min(A.offsets)) if A.offsets else 0
+    maxpos = max(0, max(A.offsets)) if A.offsets else 0
+    xp = jnp.pad(x, (maxneg, maxpos))
+    y = jnp.zeros((n,), dtype=jnp.result_type(A.data.dtype, x.dtype))
+    for d_idx, off in enumerate(A.offsets):
+        seg = jax.lax.dynamic_slice_in_dim(xp, off + maxneg, n)
+        y = y + A.data[d_idx, :] * seg
+    return y
+
+
+def coo_spmv(A: DeviceCOO, x: jax.Array) -> jax.Array:
+    prod = A.vals * jnp.take(x, A.cols, axis=0)
+    return jax.ops.segment_sum(prod, A.rows, num_segments=A.shape[0])
+
+
+def csr_spmv(A: DeviceCSR, x: jax.Array) -> jax.Array:
+    n = A.shape[0]
+    nnz = A.indices.shape[0]
+    # Expand indptr -> row ids via searchsorted (static-shape friendly).
+    rows = jnp.searchsorted(
+        A.indptr, jnp.arange(nnz, dtype=A.indptr.dtype), side="right"
+    ) - 1
+    prod = A.data * jnp.take(x, A.indices, axis=0)
+    return jax.ops.segment_sum(prod, rows, num_segments=n)
+
+
+@singledispatch
+def spmv(A, x):
+    raise TypeError(f"spmv: unsupported matrix type {type(A)}")
+
+
+spmv.register(EllMatrix)(ell_spmv)
+spmv.register(DiaMatrix)(dia_spmv)
+spmv.register(DeviceCOO)(coo_spmv)
+spmv.register(DeviceCSR)(csr_spmv)
+
+
+def as_matvec(A):
+    """Return a closure y = A @ x for any supported format (or a callable)."""
+    if callable(A) and not hasattr(A, "shape"):
+        return A
+    return lambda x: spmv(A, x)

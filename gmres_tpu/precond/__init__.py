@@ -1,0 +1,44 @@
+"""Preconditioners (L3): host-side setup, in-graph apply.
+
+TPU redesign of the reference's ``Preconditioner`` hierarchy
+(preconditioner.h:34-84: MyNONE/MyDIAG/MyILU0/MyILUK/MyILUPP/MyAINV with
+HostPrecond/DevPrecond + split hooks). Here every preconditioner is:
+
+  setup (host, NumPy/SciPy/native-C++)  ->  pytree state
+  apply (pure jnp, jit/vmap/shard_map-safe)  ->  v |-> M^{-1} v
+
+AINV is the first-class citizen on TPU (apply = two SpMVs + a diagonal
+scale, no triangular solves) — the reference itself found AINV competitive
+(TVLSI §V); ILU(0)/ILU(k) are provided for parity with level-scheduled or
+Jacobi-sweep triangular solves.
+"""
+
+from gmres_tpu.precond.jacobi import JacobiPrecond, jacobi
+from gmres_tpu.precond.ilu import IluPrecond, ilu0, iluk
+from gmres_tpu.precond.ainv import AinvPrecond, ainv
+from gmres_tpu.precond.trisolve import LevelTriSolve, tri_solve_levels
+
+__all__ = [
+    "JacobiPrecond", "jacobi",
+    "IluPrecond", "ilu0", "iluk",
+    "AinvPrecond", "ainv",
+    "LevelTriSolve", "tri_solve_levels",
+    "make_preconditioner",
+]
+
+
+def make_preconditioner(name: str, A, **kw):
+    """Factory keyed by the reference's CLI/menu names (main2.cu:55-80:
+    NONE/DIAG/ILU0/AINV; plus iluk/milu)."""
+    name = (name or "none").lower()
+    if name in ("none", ""):
+        return None
+    if name in ("diag", "jacobi"):
+        return jacobi(A, **kw)
+    if name == "ilu0":
+        return ilu0(A, **kw)
+    if name == "iluk":
+        return iluk(A, **kw)
+    if name == "ainv":
+        return ainv(A, **kw)
+    raise ValueError(f"unknown preconditioner {name!r}")

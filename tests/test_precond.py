@@ -1,0 +1,117 @@
+"""Preconditioner correctness + effectiveness (they must cut iteration counts,
+the oracle the reference uses in its §V comparisons)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from gmres_tpu.ops.formats import CSRMatrix
+from gmres_tpu.precond import ainv, ilu0, iluk, jacobi, make_preconditioner
+from gmres_tpu.precond.ainv import ainv_factor
+from gmres_tpu.precond.ilu import ilu0_factor, iluk_factor
+from gmres_tpu.precond.trisolve import tri_solve_levels, tri_solve_sweeps
+from gmres_tpu.solvers.gmres import gmres
+
+from conftest import poisson2d, random_sparse
+
+
+def _iters(A, M=None, tol=1e-8, restart=30, side="left"):
+    n = A.shape[0]
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    kw = {"M_left": M} if side == "left" else {"M_right": M}
+    res = gmres(A.to_ell(dtype=jnp.float64), b, restart=restart, tol=tol,
+                maxiter=5000, **kw)
+    assert bool(res.converged), f"diverged: residual={float(res.residual)}"
+    return int(res.iterations)
+
+
+def test_ilu0_factor_exact_on_full_pattern():
+    # On a dense-pattern matrix ILU(0) == exact LU.
+    rng = np.random.default_rng(0)
+    D = rng.standard_normal((12, 12)) + 12 * np.eye(12)
+    A = CSRMatrix.from_dense(D)
+    L, U = ilu0_factor(A)
+    Ld = L.to_dense() + np.eye(12)
+    Ud = U.to_dense()
+    assert np.allclose(Ld @ Ud, D, atol=1e-10)
+
+
+def test_ilu0_trisolve_roundtrip():
+    A = poisson2d(9)
+    L, U = ilu0_factor(A)
+    n = A.shape[0]
+    v = np.random.default_rng(1).standard_normal(n)
+    ls = tri_solve_levels(L, lower=True, dtype=jnp.float64, unit_diag=True)
+    us = tri_solve_levels(U, lower=False, dtype=jnp.float64)
+    y = np.asarray(ls(jnp.asarray(v)))
+    # check against scipy triangular solve
+    Ld = L.to_dense() + np.eye(n)
+    y_ref = np.linalg.solve(Ld, v)
+    assert np.allclose(y, y_ref, atol=1e-10)
+    x = np.asarray(us(jnp.asarray(y)))
+    x_ref = np.linalg.solve(U.to_dense(), y_ref)
+    assert np.allclose(x, x_ref, atol=1e-8)
+
+
+def test_sweeps_trisolve_approximates():
+    A = poisson2d(8)
+    L, U = ilu0_factor(A)
+    n = A.shape[0]
+    v = np.random.default_rng(2).standard_normal(n)
+    ls = tri_solve_sweeps(L, lower=True, dtype=jnp.float64, unit_diag=True,
+                          sweeps=n)  # exact after n sweeps
+    Ld = L.to_dense() + np.eye(n)
+    assert np.allclose(np.asarray(ls(jnp.asarray(v))), np.linalg.solve(Ld, v),
+                       atol=1e-8)
+
+
+@pytest.mark.parametrize("maker,name", [
+    (lambda: poisson2d(12), "poisson"),
+    (lambda: random_sparse(150, 0.04, seed=7, diag_boost=3.0), "random"),
+])
+def test_preconditioners_reduce_iterations(maker, name):
+    A = maker()
+    base = _iters(A)
+    it_jac = _iters(A, jacobi(A, dtype=jnp.float64))
+    it_ilu = _iters(A, ilu0(A, dtype=jnp.float64))
+    it_ainv = _iters(A, ainv(A, drop_tol=0.05, dtype=jnp.float64))
+    assert it_ilu < base
+    assert it_ainv < base
+    assert it_jac <= base + 5
+
+
+def test_iluk_beats_ilu0_on_poisson():
+    A = poisson2d(14)
+    it0 = _iters(A, ilu0(A, dtype=jnp.float64))
+    it2 = _iters(A, iluk(A, fill_level=3, dtype=jnp.float64))
+    assert it2 <= it0
+
+
+def test_right_preconditioning():
+    A = random_sparse(100, 0.05, seed=11, diag_boost=4.0)
+    M = ilu0(A, dtype=jnp.float64)
+    it = _iters(A, M, side="right")
+    assert it < _iters(A)
+
+
+def test_ainv_factor_quality():
+    # Z D^{-1} W^T should approximate A^{-1}: use it as a direct solver step
+    # and check the residual shrinks a lot.
+    A = poisson2d(8)
+    Z, Wt, inv_d = ainv_factor(A, drop_tol=0.0)  # no dropping => exact inverse
+    n = A.shape[0]
+    Minv = Z.to_dense() @ np.diag(inv_d) @ Wt.to_dense()
+    err = np.linalg.norm(Minv @ A.to_dense() - np.eye(n)) / n
+    assert err < 1e-10
+
+
+def test_make_preconditioner_factory():
+    A = poisson2d(6)
+    assert make_preconditioner("none", A) is None
+    for name in ["jacobi", "ilu0", "ainv"]:
+        M = make_preconditioner(name, A, dtype=jnp.float64)
+        v = jnp.ones(A.shape[0], dtype=jnp.float64)
+        out = M(v)
+        assert out.shape == v.shape
