@@ -1,0 +1,110 @@
+"""3D-IC thermal transient: backward-Euler with a GMRES solve per step.
+
+TPU-native engine covering src_thermal/main2.cu:437-506 (CPU and GPU loops
+collapse into one jitted program): the whole time loop is a ``lax.scan`` whose
+body does two SpMVs for the right-hand side and one preconditioned GMRES
+solve, warm-started from the previous state -- matching ``GMRES_GPU_tran``'s
+reuse of the previous solution (gmres.cu:2737-2827). No per-step host
+round-trips: the reference reloads u from disk every step (main2.cu:492); here
+the whole input waveform matrix ships to HBM once (its source-kernel
+equivalent, kernels.cu gen_*_kernel, lives in frontend/sources.py for the PG
+path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gmres_tpu.ops.operator import as_operator
+from gmres_tpu.solvers.gmres import _gmres_impl
+
+__all__ = ["TransientResult", "thermal_transient"]
+
+
+class TransientResult(NamedTuple):
+    X: jax.Array            # (steps, n) or (steps, num_ports) state trajectory
+    iterations: jax.Array   # (steps,) GMRES inner iterations per step
+    residuals: jax.Array    # (steps,) final relative residual per step
+    converged: jax.Array    # (steps,) bool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("restart", "maxiter", "dot_dtype", "keep_trajectory"),
+)
+def _transient_impl(A, Bop, Ch, U, x0, tol, M_left, M_right, ports, *,
+                    restart, maxiter, dot_dtype, keep_trajectory):
+    def step(x, u_t):
+        rhs = Bop(u_t) + Ch(x)
+        res = _gmres_impl(
+            rhs, x, tol, A, M_left, M_right,
+            restart=restart, maxiter=maxiter, dot_dtype=dot_dtype,
+        )
+        out_x = res.x if keep_trajectory else res.x[ports]
+        return res.x, (out_x, res.iterations, res.residual, res.converged)
+
+    _, (X, iters, resid, conv) = lax.scan(step, x0, U)
+    return TransientResult(X=X, iterations=iters, residuals=resid,
+                           converged=conv)
+
+
+def thermal_transient(
+    A,
+    B,
+    C_over_h,
+    U,
+    x0: Optional[jax.Array] = None,
+    *,
+    restart: int = 32,
+    tol: float = 1e-6,
+    maxiter: int = 2000,
+    M_left=None,
+    M_right=None,
+    dot_dtype=None,
+    ports: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> TransientResult:
+    """Run the backward-Euler transient ``A x_{k+1} = B u_k + (C/h) x_k``.
+
+    Args:
+      A: system matrix G + C/h (device sparse format or matvec).
+      B: input incidence (device sparse format or matvec); may be None when
+        U already holds full-length injection vectors.
+      C_over_h: capacitance scaled by 1/h (device sparse format or matvec).
+      U: input waveforms, shape (steps, num_inputs) — row k drives step k.
+      x0: initial state (e.g. the DC solution); zeros if None.
+      ports: optional int array of node indices to record instead of the
+        full state (the .print/port mechanism of the PG tool).
+    """
+    U = jnp.asarray(U, dtype=dtype)
+    n = None
+    for M in (A, C_over_h):
+        if hasattr(M, "shape"):
+            n = M.shape[0]
+    if x0 is None:
+        if n is None:
+            raise ValueError("pass x0 when A/C are matvec closures")
+        x0 = jnp.zeros((n,), dtype=dtype)
+    x0 = jnp.asarray(x0, dtype=dtype)
+    keep_trajectory = ports is None
+    ports_arr = jnp.asarray(ports if ports is not None else [0], dtype=jnp.int32)
+    return _transient_impl(
+        as_operator(A),
+        as_operator(B),
+        as_operator(C_over_h),
+        U,
+        x0,
+        tol,
+        as_operator(M_left),
+        as_operator(M_right),
+        ports_arr,
+        restart=int(restart),
+        maxiter=int(maxiter),
+        dot_dtype=dot_dtype,
+        keep_trajectory=keep_trajectory,
+    )

@@ -1,0 +1,200 @@
+"""Distributed GMRES: row-sharded Krylov vectors over a device mesh.
+
+Design (SURVEY.md §2.7 P5, §5 "long-context" analogue):
+- vectors and matrix row-blocks shard over mesh axis "rows";
+- SpMV gathers the Krylov vector over ICI (``all_gather``) then multiplies
+  the local ELL row block (halo-window optimization comes from RCM keeping
+  each block's column footprint narrow);
+- every dot/norm in Arnoldi is a local partial + ``psum`` — the same
+  ``_gmres_impl`` core runs single-chip and multi-chip, switched by its
+  ``axis`` parameter; the Hessenberg/Givens updates are replicated on all
+  shards (tiny), so no host round-trips and no divergence across devices.
+
+The reference has no multi-device capability at all (single GPU,
+setGPUdevice.cu:28); this module is the new framework's scaling story.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gmres_tpu.ops.formats import CSRMatrix, EllMatrix
+from gmres_tpu.ops.operator import IdentityOp, identity
+from gmres_tpu.ops.spmv import ell_spmv
+from gmres_tpu.parallel.mesh import row_specs
+from gmres_tpu.parallel.partition import RowPartition, partition_rows
+from gmres_tpu.precond.ainv import AinvPrecond
+from gmres_tpu.precond.jacobi import JacobiPrecond
+from gmres_tpu.solvers.gmres import GmresResult, _gmres_impl
+
+__all__ = ["RowShardedOp", "DistAinvPrecond", "DistGmresSolver", "dist_gmres"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ell"],
+    meta_fields=["axis"],
+)
+@dataclasses.dataclass(frozen=True)
+class RowShardedOp:
+    """y_local = A_localrows @ all_gather(x). ``ell`` holds this shard's row
+    block with *global* column indices."""
+
+    ell: EllMatrix
+    axis: str
+
+    def __call__(self, x_local: jax.Array) -> jax.Array:
+        x_full = lax.all_gather(x_local, self.axis, axis=0, tiled=True)
+        xg = jnp.take(x_full, self.ell.cols, axis=0)
+        return jnp.sum(self.ell.data * xg, axis=1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["Z", "Wt", "inv_d"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class DistAinvPrecond:
+    """Row-sharded AINV apply: two gather-SpMVs + local diagonal scale."""
+
+    Z: RowShardedOp
+    Wt: RowShardedOp
+    inv_d: jax.Array  # local slice
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return self.Z(self.inv_d * self.Wt(v))
+
+
+def _pad_ell_rows(E: EllMatrix, n_padded: int) -> EllMatrix:
+    r, k = E.data.shape
+    if r < n_padded:
+        pad = n_padded - r
+        data = jnp.concatenate([E.data, jnp.zeros((pad, k), E.data.dtype)])
+        cols = jnp.concatenate([E.cols, jnp.zeros((pad, k), E.cols.dtype)])
+    else:
+        data, cols = E.data[:n_padded], E.cols[:n_padded]
+    return EllMatrix(data=data, cols=cols, shape=(n_padded, n_padded))
+
+
+def _distribute_precond(M, part: RowPartition, axis: str, dtype):
+    """Lift a single-chip preconditioner (built on the permuted matrix) to
+    the row-sharded layout."""
+    if M is None or isinstance(M, IdentityOp):
+        return identity
+    if isinstance(M, JacobiPrecond):
+        d = np.zeros(part.n_padded, dtype=np.asarray(M.inv_diag).dtype)
+        d[: part.n] = np.asarray(M.inv_diag)
+        return JacobiPrecond(inv_diag=jnp.asarray(d))
+    if isinstance(M, AinvPrecond):
+        invd = np.zeros(part.n_padded, dtype=np.asarray(M.inv_d).dtype)
+        invd[: part.n] = np.asarray(M.inv_d)
+        return DistAinvPrecond(
+            Z=RowShardedOp(_pad_ell_rows(M.Z, part.n_padded), axis),
+            Wt=RowShardedOp(_pad_ell_rows(M.Wt, part.n_padded), axis),
+            inv_d=jnp.asarray(invd),
+        )
+    raise TypeError(
+        f"preconditioner {type(M).__name__} has no distributed form; use "
+        "jacobi or ainv (ILU solves are serial across shards by nature)"
+    )
+
+
+class DistGmresSolver:
+    """Factor once (host), solve many (device mesh).
+
+    Usage:
+        mesh = make_mesh(n_rows=8)
+        s = DistGmresSolver(A_host, mesh, precond="ainv")
+        x = s.solve(b)            # b, x in the original ordering / size
+    """
+
+    def __init__(
+        self,
+        A: CSRMatrix,
+        mesh: Mesh,
+        *,
+        precond: str | object = "jacobi",
+        reorder: bool = True,
+        dtype=jnp.float32,
+        restart: int = 32,
+        tol: float = 1e-6,
+        maxiter: int = 10000,
+        dot_dtype=None,
+        axis: str = "rows",
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        self.dtype = dtype
+        self.tol = tol
+        ndev = int(np.prod([mesh.shape[a] for a in (axis,)]))
+        self.part, ell, Ap = partition_rows(A, ndev, reorder=reorder, dtype=dtype)
+        self.Aop = RowShardedOp(ell, axis)
+        if isinstance(precond, str):
+            from gmres_tpu.precond import make_preconditioner
+
+            M = make_preconditioner(precond, Ap, dtype=dtype)
+        else:
+            M = precond
+        self.Ml = _distribute_precond(M, self.part, axis, dtype)
+
+        vec_spec = P(axis)
+        rep = P()
+        in_specs = (
+            vec_spec, vec_spec, rep,
+            row_specs(self.Aop, axis), row_specs(self.Ml, axis),
+        )
+        out_specs = GmresResult(
+            x=vec_spec, residual=rep, iterations=rep, restarts=rep,
+            converged=rep,
+        )
+
+        def body(b, x0, tol_, Aop, Ml):
+            return _gmres_impl(
+                b, x0, tol_, Aop, Ml, identity,
+                restart=restart, maxiter=maxiter, dot_dtype=dot_dtype,
+                axis=axis,
+            )
+
+        self._solve = jax.jit(
+            jax.shard_map(
+                body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+
+    def device_rhs(self, b: np.ndarray) -> jax.Array:
+        bp = self.part.pad_permute(np.asarray(b, dtype=np.float64))
+        return jax.device_put(
+            jnp.asarray(bp, dtype=self.dtype),
+            NamedSharding(self.mesh, P(self.axis)),
+        )
+
+    def solve(self, b, x0=None) -> GmresResult:
+        bd = self.device_rhs(b)
+        x0d = self.device_rhs(x0) if x0 is not None else jnp.zeros_like(bd)
+        res = self._solve(
+            bd, x0d, jnp.asarray(self.tol, self.dtype), self.Aop, self.Ml
+        )
+        x = self.part.unpad_unpermute(np.asarray(res.x))
+        return GmresResult(
+            x=x,
+            residual=res.residual,
+            iterations=res.iterations,
+            restarts=res.restarts,
+            converged=res.converged,
+        )
+
+
+def dist_gmres(A: CSRMatrix, b, mesh: Mesh, **kw) -> GmresResult:
+    """One-shot convenience wrapper."""
+    return DistGmresSolver(A, mesh, **kw).solve(b)

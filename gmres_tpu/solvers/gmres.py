@@ -49,9 +49,13 @@ def _identity(v):
     return v
 
 
-def _norm(v, dot_dtype):
+def _psum(x, axis):
+    return lax.psum(x, axis) if axis is not None else x
+
+
+def _norm(v, dot_dtype, axis=None):
     vv = v.astype(dot_dtype) if dot_dtype is not None else v
-    return jnp.sqrt(jnp.sum(vv * vv)).astype(v.dtype)
+    return jnp.sqrt(_psum(jnp.sum(vv * vv), axis)).astype(v.dtype)
 
 
 def _givens(a, b, eps):
@@ -65,9 +69,13 @@ def _givens(a, b, eps):
 
 @partial(
     jax.jit,
-    static_argnames=("restart", "maxiter", "dot_dtype"),
+    static_argnames=("restart", "maxiter", "dot_dtype", "axis"),
 )
-def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype):
+def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
+                axis=None):
+    """Core GMRES(m). When ``axis`` names a mesh axis (inside shard_map),
+    vectors are row-sharded and every reduction becomes a psum over that axis
+    (the distributed-MGS design of SURVEY.md §2.7 P5)."""
     dtype = b.dtype
     n = b.shape[0]
     m = restart
@@ -75,7 +83,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype):
 
     op = lambda v: M_left(A(M_right(v)))
 
-    bnorm = _norm(M_left(b), dot_dtype)
+    bnorm = _norm(M_left(b), dot_dtype, axis)
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, dtype))
     tol_abs = jnp.asarray(tol, dtype) * bnorm
 
@@ -86,6 +94,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype):
 
         def proj(w):
             hw = V @ (w.astype(dot_dtype) if dot_dtype else w)
+            hw = _psum(hw, axis)
             hw = hw.astype(dtype) * rowmask
             return w - hw @ V, hw
 
@@ -95,7 +104,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype):
 
     def arnoldi_cycle(x):
         r = M_left(b - A(x))
-        beta = _norm(r, dot_dtype)
+        beta = _norm(r, dot_dtype, axis)
         already = beta <= tol_abs
 
         V0 = jnp.zeros((m + 1, n), dtype)
@@ -113,7 +122,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype):
             j, V, R, g, cs, sn, res, active = st
             w = op(V[j])
             w, h = cgs2(V, w, j)
-            hnext = _norm(w, dot_dtype)
+            hnext = _norm(w, dot_dtype, axis)
             ok = hnext > eps
             V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, hnext, 1.0), 0.0))
 
@@ -163,7 +172,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype):
         return (x, res, iters + j, cycles + 1, done)
 
     r0 = M_left(b - A(x0))
-    res0 = _norm(r0, dot_dtype)
+    res0 = _norm(r0, dot_dtype, axis)
     st = (x0, res0, jnp.asarray(0), jnp.asarray(0), res0 <= tol_abs)
     x, res, iters, cycles, done = lax.while_loop(outer_cond, outer_body, st)
     return GmresResult(

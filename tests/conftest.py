@@ -16,6 +16,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment pre-sets JAX_PLATFORMS=axon (TPU tunnel) before python
+# starts; the env var is latched at import, so force CPU via the config.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: GMRES while-loops are compile-heavy on the CPU
 # backend; cache across test sessions.

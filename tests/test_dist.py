@@ -1,0 +1,77 @@
+"""Distributed GMRES on the virtual 8-device CPU mesh: correctness vs the
+single-chip path and vs SciPy (SURVEY.md §4's multi-host oracle: same
+solution on 1 chip vs N chips)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gmres_tpu.parallel import DistGmresSolver, make_mesh, partition_rows
+from gmres_tpu.parallel.dist_gmres import RowShardedOp
+from gmres_tpu.precond import ainv, jacobi
+from gmres_tpu.solvers.gmres import gmres
+
+from conftest import poisson2d, random_sparse
+
+
+def test_partition_roundtrip():
+    A = poisson2d(9)
+    part, ell, Ap = partition_rows(A, ndev=4)
+    v = np.random.default_rng(0).standard_normal(A.shape[0])
+    assert np.allclose(part.unpad_unpermute(part.pad_permute(v)), v)
+    assert part.n_padded % 4 == 0
+
+
+def test_partitioned_spmv_matches():
+    A = random_sparse(70, 0.08, seed=2)
+    part, ell, Ap = partition_rows(A, ndev=4, dtype=jnp.float64)
+    x = np.random.default_rng(1).standard_normal(70)
+    xp = part.pad_permute(x)
+    from gmres_tpu.ops.spmv import ell_spmv
+
+    y = part.unpad_unpermute(np.asarray(ell_spmv(ell, jnp.asarray(xp))))
+    assert np.allclose(y, A.matvec(x), atol=1e-10)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_dist_solve_matches_scipy(ndev):
+    A = poisson2d(10)
+    n = A.shape[0]
+    b = np.random.default_rng(0).standard_normal(n)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    mesh = make_mesh(n_rows=ndev, n_batch=1)
+    s = DistGmresSolver(A, mesh, precond="jacobi", dtype=jnp.float64,
+                        restart=30, tol=1e-10, maxiter=5000)
+    res = s.solve(b)
+    assert bool(res.converged)
+    assert np.linalg.norm(res.x - x_ref) / np.linalg.norm(x_ref) < 1e-7
+
+
+def test_dist_ainv_precond():
+    A = random_sparse(90, 0.06, seed=4, diag_boost=3.0)
+    b = np.random.default_rng(1).standard_normal(90)
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    s = DistGmresSolver(A, mesh, precond="ainv", dtype=jnp.float64,
+                        restart=30, tol=1e-9, maxiter=3000)
+    res = s.solve(b)
+    assert bool(res.converged)
+    r = b - A.matvec(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+
+
+def test_dist_matches_single_chip_iterations():
+    """Row-sharding must not change the math: iteration counts agree with the
+    single-device solver on the same (permuted) system."""
+    A = poisson2d(8)
+    n = A.shape[0]
+    b = np.random.default_rng(3).standard_normal(n)
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    s = DistGmresSolver(A, mesh, precond=None, reorder=False,
+                        dtype=jnp.float64, restart=25, tol=1e-8, maxiter=2000)
+    res_d = s.solve(b)
+    res_1 = gmres(A.to_ell(dtype=jnp.float64), jnp.asarray(b), restart=25,
+                  tol=1e-8, maxiter=2000)
+    assert bool(res_d.converged) and bool(res_1.converged)
+    assert abs(int(res_d.iterations) - int(res_1.iterations)) <= 1
