@@ -39,24 +39,33 @@ def main():
     host = CSRMatrix.from_scipy(A)
     nnz = host.nnz
 
-    A_dev = host.to_dia(dtype=jnp.float32)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
-
-    f = jax.jit(lambda x: spmv(A_dev, x))
-    y = f(x)
-    y.block_until_ready()
+    A_dev = host.to_dia(dtype=jnp.float32, pad_to=1024)
+    n_pad = A_dev.shape[0]
+    xh = np.zeros(n_pad, np.float32)
+    xh[:n] = np.random.default_rng(0).standard_normal(n)
+    x = jnp.asarray(xh)
 
     # verify (relative L2 < 1e-5 vs f64 host oracle; main.cu:263-279 analogue)
-    sample = slice(0, 100000)
-    y_ref = host.matvec(np.asarray(x, np.float64))
-    rel = np.linalg.norm(np.asarray(y) - y_ref) / np.linalg.norm(y_ref)
+    y = jax.jit(lambda x: spmv(A_dev, x))(x)
+    y_ref = host.matvec(xh[:n].astype(np.float64))
+    rel = np.linalg.norm(np.asarray(y)[:n] - y_ref) / np.linalg.norm(y_ref)
     assert rel < 1e-5, f"SpMV verify failed: rel={rel}"
 
-    iters = 50
+    # time a chained in-graph loop (matches solver usage; per-dispatch
+    # latency through the device tunnel would otherwise dominate), and force
+    # materialization with a host read — block_until_ready alone does not
+    # block on tunneled backends.
+    iters = 100
+
+    @jax.jit
+    def chain(x):
+        import jax.lax as lax
+
+        return lax.fori_loop(0, iters, lambda i, v: spmv(A_dev, v) * 0.08, x)
+
+    _ = float(jnp.sum(chain(x)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(x)
-    y.block_until_ready()
+    _ = float(jnp.sum(chain(x)))
     dt = (time.perf_counter() - t0) / iters
 
     nnz_per_s = nnz / dt

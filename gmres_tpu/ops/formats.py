@@ -234,10 +234,15 @@ class CSRMatrix:
             shape=self.shape,
         )
 
-    def to_dia(self, dtype=jnp.float32, max_diags: int = 1024) -> "DiaMatrix":
+    def to_dia(self, dtype=jnp.float32, max_diags: int = 1024,
+               pad_to: int = 1) -> "DiaMatrix":
         """Pack into DIA (per-diagonal) storage. Efficient when the matrix is
         a (possibly reordered) stencil: few distinct offsets. ``data[d, i]``
         multiplies ``x[i + offset_d]`` (row-aligned convention).
+
+        ``pad_to`` rounds the stored size up (zero rows/cols appended); the
+        Pallas kernel needs 1024-multiples so vectors can live in the padded
+        space with no per-call repacking. ``logical_n`` records the true size.
         """
         n, nc = self.shape
         lengths = self.row_lengths()
@@ -248,13 +253,15 @@ class CSRMatrix:
             raise ValueError(
                 f"{offsets.size} diagonals > max_diags={max_diags}; use ELL"
             )
-        data = np.zeros((offsets.size, n), dtype=np.float64)
+        n_pad = round_up(n, pad_to)
+        data = np.zeros((offsets.size, n_pad), dtype=np.float64)
         dpos = np.searchsorted(offsets, offsets_all)
         data[dpos, rows] = self.data
         return DiaMatrix(
             data=jnp.asarray(data, dtype=dtype),
             offsets=tuple(int(o) for o in offsets),
-            shape=self.shape,
+            shape=(n_pad, n_pad),
+            logical_n=n,
         )
 
     def to_device_coo(self, dtype=jnp.float32) -> "DeviceCOO":
@@ -313,17 +320,19 @@ class EllMatrix:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data"],
-    meta_fields=["offsets", "shape"],
+    meta_fields=["offsets", "shape", "logical_n"],
 )
 @dataclasses.dataclass(frozen=True)
 class DiaMatrix:
     """Diagonal storage: ``data[d, i] * x[i + offsets[d]]`` sums into ``y[i]``.
     Offsets are static metadata so the SpMV unrolls into ``ndiag`` shifted
-    multiplies -- no gathers at all."""
+    multiplies -- no gathers at all. ``shape`` may be padded square
+    (zero-extended); ``logical_n`` is the true problem size."""
 
-    data: jax.Array  # (ndiag, n)
+    data: jax.Array  # (ndiag, n_pad)
     offsets: Tuple[int, ...]
     shape: Tuple[int, int]
+    logical_n: int = -1
 
     @property
     def ndiags(self) -> int:

@@ -33,11 +33,17 @@ def ell_spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
 
 
 def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
-    """y = A @ x for DIA: ndiag shifted elementwise multiplies, no gathers.
+    """y = A @ x for DIA. On TPU, routes to the Pallas kernel when the
+    layout qualifies; otherwise ndiag shifted elementwise multiplies.
 
     For each offset d: y[i] += data[d, i] * x[i + d] (in-bounds entries only;
     out-of-range positions hold zero coefficients by construction).
     """
+    if jax.default_backend() == "tpu":
+        from gmres_tpu.ops.pallas_spmv import dia_pallas_supported, dia_spmv_pallas
+
+        if dia_pallas_supported(A) and x.shape[0] == A.shape[0]:
+            return dia_spmv_pallas(A, x)
     n, nc = A.shape
     # Pad x so every shifted read is in bounds: index i + d + maxneg.
     maxneg = max(0, -min(A.offsets)) if A.offsets else 0
