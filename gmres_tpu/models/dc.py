@@ -1,0 +1,48 @@
+"""DC operating point: solve G x = B u(0).
+
+Covers dc_solver.cpp:34 (UMFPACK direct) and the GPU-GMRES DC solve
+(mna_solve_gpu_gmres.cpp:529-538) with one parameterized function.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gmres_tpu.frontend.mna import MnaSystem
+from gmres_tpu.precond import make_preconditioner
+from gmres_tpu.solvers.direct import SparseLU
+from gmres_tpu.solvers.gmres import gmres
+
+__all__ = ["dc_solve"]
+
+
+def dc_solve(
+    mna: MnaSystem,
+    method: str = "direct",
+    precond: str = "ainv",
+    dtype=jnp.float64,
+    tol: float = 1e-10,
+    restart: int = 50,
+    maxiter: int = 20000,
+) -> np.ndarray:
+    """Returns the DC state vector x (node voltages + branch currents)."""
+    rhs = mna.dc_rhs()
+    if method == "direct":
+        return SparseLU(mna.G).solve(rhs)
+    if method == "gmres":
+        M = make_preconditioner(precond, mna.G, dtype=dtype)
+        res = gmres(
+            mna.G.to_ell(dtype=dtype),
+            jnp.asarray(rhs, dtype=dtype),
+            restart=restart, tol=tol, maxiter=maxiter, M_left=M,
+        )
+        if not bool(res.converged):
+            raise RuntimeError(
+                f"DC GMRES failed to converge: residual={float(res.residual)}"
+            )
+        return np.asarray(res.x, dtype=np.float64)
+    raise ValueError(f"unknown dc method {method!r}")

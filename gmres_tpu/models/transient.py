@@ -1,0 +1,114 @@
+"""Full-MNA transient simulation of G x + C x' = B u(t), backward Euler.
+
+Two engines with identical semantics:
+
+- :func:`transient_direct` — host sparse-LU per-step substitution, the
+  oracle/small-system path (mna_solve.cpp:48-235: factor A = G + C/h once,
+  per step w = B u + (C/h) x, solve).
+- :func:`transient_gmres` — the flagship device engine
+  (mna_solve_gpu_gmres.cpp:190-647 equivalent): preconditioner built on the
+  host for A = G + C/h, whole time loop jitted as one lax.scan with a
+  warm-started GMRES solve per step (models/thermal.py core — the thermal
+  and PG loops are the same math, so they share the scan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gmres_tpu.frontend.mna import MnaSystem
+from gmres_tpu.models.thermal import TransientResult, thermal_transient
+from gmres_tpu.ops.formats import CSRMatrix
+from gmres_tpu.precond import make_preconditioner
+from gmres_tpu.solvers.direct import SparseLU
+
+__all__ = ["PgTransientResult", "transient_direct", "transient_gmres"]
+
+
+class PgTransientResult(NamedTuple):
+    times: np.ndarray        # (steps,)
+    port_values: np.ndarray  # (steps, nports)
+    dc: np.ndarray           # DC state (x at t=0)
+    stats: Optional[object] = None
+
+
+def _prep(mna: MnaSystem, tstep: Optional[float], tstop: Optional[float]):
+    h = tstep or mna.tstep
+    stop = tstop or mna.tstop
+    if h <= 0 or stop <= 0:
+        raise ValueError("no .tran directive and no tstep/tstop given")
+    U = mna.source_table(h, stop)          # (steps, nsrc)
+    times = h * (np.arange(U.shape[0]) + 1)
+    A = CSRMatrix.from_scipy(mna.G.to_scipy() + mna.C.to_scipy() / h)
+    Ch = CSRMatrix.from_scipy(mna.C.to_scipy() / h)
+    return h, stop, U, times, A, Ch
+
+
+def transient_direct(
+    mna: MnaSystem,
+    tstep: Optional[float] = None,
+    tstop: Optional[float] = None,
+    x0: Optional[np.ndarray] = None,
+) -> PgTransientResult:
+    from gmres_tpu.models.dc import dc_solve
+
+    h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
+    x = dc_solve(mna, method="direct") if x0 is None else np.asarray(x0)
+    dc = x.copy()
+    lu = SparseLU(A)
+    Bs = mna.B.to_scipy()
+    Chs = Ch.to_scipy()
+    ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
+    out = np.empty((U.shape[0], ports.size))
+    for k in range(U.shape[0]):
+        x = lu.solve(Bs @ U[k] + Chs @ x)
+        out[k] = x[ports]
+    return PgTransientResult(times=times, port_values=out, dc=dc)
+
+
+def transient_gmres(
+    mna: MnaSystem,
+    tstep: Optional[float] = None,
+    tstop: Optional[float] = None,
+    x0: Optional[np.ndarray] = None,
+    *,
+    precond: str = "ainv",
+    dtype=jnp.float32,
+    tol: float = 1e-7,
+    restart: int = 32,
+    maxiter: int = 10000,
+    dc_method: str = "direct",
+) -> PgTransientResult:
+    """Device transient: per-step tolerance 1e-7 to match the PG tool
+    (gmres_interface_pg.cu:7)."""
+    from gmres_tpu.models.dc import dc_solve
+
+    h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
+    x = dc_solve(mna, method=dc_method) if x0 is None else np.asarray(x0)
+    dc = x.copy()
+    M = make_preconditioner(precond, A, dtype=dtype)
+    ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
+    res = thermal_transient(
+        A.to_ell(dtype=dtype),
+        mna.B.to_ell(dtype=dtype),
+        Ch.to_ell(dtype=dtype),
+        U,
+        x0=jnp.asarray(x, dtype=dtype),
+        restart=restart, tol=tol, maxiter=maxiter, M_left=M, dtype=dtype,
+        ports=jnp.asarray(ports, dtype=jnp.int32),
+    )
+    return PgTransientResult(
+        times=times,
+        port_values=np.asarray(res.X, dtype=np.float64),
+        dc=dc,
+        stats={
+            "iterations": np.asarray(res.iterations),
+            "residuals": np.asarray(res.residuals),
+            "converged": bool(np.asarray(res.converged).all()),
+        },
+    )
