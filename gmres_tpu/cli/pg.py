@@ -1,0 +1,143 @@
+"""Power-grid analysis driver — the ``etbr_cmd``/``mna_cmd`` equivalent.
+
+Flag surface mirrors etbr_cmd_short.cpp:91-167:
+  -fast        ETBR reduction path (else full MNA)
+  -nq Q        reduced order (default 20)
+  -ec          dynamic error control (mixed transient)
+  -th T        IR/error threshold (default 0.05)
+  -mt N        threaded sample solves
+  -tpu         device engines (accepted alias: -gpu)
+  -single/-double   f32 / f64 iteration
+  -gmres       iterative full-MNA engine (else direct LU)
+  -precond P   none|diag|ilu0|iluk|ainv (default ainv; reference -ilu/-cd)
+  -ir          IR-drop report
+  -dc          DC solve only
+Dispatch mirrors the reference matrix at etbr_cmd_short.cpp:248-383.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="pg", description="TPU-native power-grid analysis (GPU-GMRES capability set)"
+    )
+    ap.add_argument("netlist")
+    ap.add_argument("-fast", action="store_true", help="ETBR reduced simulation")
+    ap.add_argument("-nq", type=int, default=20, help="reduced order q")
+    ap.add_argument("-ec", action="store_true", help="error-controlled mixed stepping")
+    ap.add_argument("-th", type=float, default=0.05, help="error/IR threshold")
+    ap.add_argument("-mt", type=int, default=0, metavar="N", help="threaded sample solves")
+    ap.add_argument("-tpu", "-gpu", dest="device", action="store_true",
+                    help="run engines on the accelerator")
+    ap.add_argument("-single", dest="single", action="store_true", default=True)
+    ap.add_argument("-double", dest="single", action="store_false")
+    ap.add_argument("-gmres", action="store_true", help="iterative full-MNA engine")
+    ap.add_argument("-precond", default="ainv",
+                    choices=["none", "diag", "jacobi", "ilu0", "iluk", "ainv"])
+    ap.add_argument("-ir", action="store_true", help="IR-drop analysis")
+    ap.add_argument("-dc", action="store_true", help="DC operating point only")
+    ap.add_argument("-tol", type=float, default=1e-7)
+    ap.add_argument("-restart", type=int, default=32)
+    ap.add_argument("-o", dest="out", default=None, help="output file basename")
+    ap.add_argument("-external", action="store_true",
+                    help="UCR_EXTERNAL output format")
+    return ap
+
+
+def main(argv=None) -> int:
+    import jax.numpy as jnp
+
+    from gmres_tpu.frontend.mna import stamp
+    from gmres_tpu.frontend.spice import parse_netlist
+    from gmres_tpu.frontend.writers import (
+        write_dc_output, write_output, write_xgraph,
+    )
+    from gmres_tpu.models.dc import dc_solve
+    from gmres_tpu.models.ir import ir_analysis, write_ir_report
+    from gmres_tpu.models.transient import transient_direct, transient_gmres
+    from gmres_tpu.utils.timing import PhaseTimers
+
+    args = build_argparser().parse_args(argv)
+    dtype = jnp.float32 if args.single else jnp.float64
+    base = args.out or os.path.splitext(args.netlist)[0]
+    timers = PhaseTimers()
+
+    with timers.phase("parse"):
+        nl = parse_netlist(args.netlist)
+        mna = stamp(nl)
+    print(f"* parsed {args.netlist}: {mna.num_nodes} nodes, "
+          f"{mna.num_vsrc} V-src, {mna.num_ind} L, nnz(G)={mna.G.nnz}")
+
+    if args.dc or mna.tstep <= 0:
+        with timers.phase("dc"):
+            x = dc_solve(mna, method="gmres" if args.gmres else "direct",
+                         precond=args.precond, dtype=dtype)
+        names = mna.port_names or list(mna.node_index)[: 20]
+        idx = (mna.ports if mna.ports.size
+               else np.arange(min(20, mna.num_nodes)))
+        write_dc_output(base + ".output", x[idx], names)
+        print(f"** {base}.output dumped (DC)")
+        timers.report()
+        return 0
+
+    if args.fast:
+        from gmres_tpu.models.etbr import (
+            etbr_reduce, mixed_transient, reduced_transient,
+        )
+
+        with timers.phase("etbr_reduce"):
+            model = etbr_reduce(
+                mna, q=args.nq, workers=args.mt,
+                method="gmres" if (args.device and args.gmres) else "lu",
+            )
+        print(f"* reduced order q={model.q}, "
+              f"sigma1={model.sigma[0]:.3e}, "
+              f"sigma_q/sigma1={model.sigma[min(model.q, len(model.sigma)-1)]/model.sigma[0]:.3e}")
+        with timers.phase("reduced_transient"):
+            if args.ec:
+                res = mixed_transient(model, mna, threshold=args.th)
+                print(f"* error control: {res.stats['full_resolves']} full re-solves")
+            else:
+                res = reduced_transient(
+                    model, mna, dtype=jnp.float64 if not args.single else jnp.float32
+                )
+    else:
+        with timers.phase("mna_transient"):
+            if args.gmres:
+                res = transient_gmres(
+                    mna, precond=args.precond, dtype=dtype, tol=args.tol,
+                    restart=args.restart,
+                )
+                it = res.stats["iterations"]
+                print(f"* gmres transient: {int(it.sum())} total iterations, "
+                      f"mean {float(it.mean()):.1f}/step, "
+                      f"converged={res.stats['converged']}")
+            else:
+                res = transient_direct(mna)
+
+    names = mna.port_names or [f"n{i}" for i in
+                               (mna.ports if mna.ports.size else range(0))]
+    with timers.phase("write"):
+        if names:
+            write_output(base + ".output", res.times, res.port_values, names,
+                         external=args.external)
+            write_xgraph(base + ".xgraph", res.times, res.port_values, names)
+            print(f"** {base}.output dumped")
+    if args.ir and names:
+        rep = ir_analysis(res.port_values, names)
+        write_ir_report(base + ".ir", rep)
+        print(f"** {base}.ir dumped")
+    timers.report()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,285 @@
+"""ETBR model-order reduction + reduced/mixed transient engines.
+
+Covers the reference's `-fast` path:
+
+- :func:`etbr_reduce` — etbr2.cpp:330-560: FFT source spectra on the
+  backward-Euler time grid (1024-point, magnitudes 2|F|/L), frequency
+  samples = forced {0,1,10,1e5,1e6,1e7} + log-spaced q-6 between
+  1/(h*fft_n) and Nyquist (etbr2.cpp:375-388), solve (G + f_i C) z_i =
+  B u_hat(f_i) per sample (real arithmetic, like the reference's CSparse
+  path), X = top-q left singular vectors of Z, reduced Gr/Cr/Br = Galerkin
+  projections. Sample solves fan out over a thread pool (etbr_thread.cpp's
+  pthread-per-sample, :188-209) or run as one vmapped batched GMRES on
+  device.
+- :func:`reduced_transient` — the all-device reduced BE loop
+  (cudaTranSim.cu:34-480 / transim2.cpp:735 reduced_transim2): dense LU of
+  (Gr + Cr/h) factored once, whole time loop one lax.scan, ports projected
+  with the X row block (the reference's LV gemm).
+- :func:`mixed_transient` — transim2.cpp:52,440-610 mixed_transim2:
+  per-step residual-current check of the reduced solution against the full
+  system; on violation, re-solve the full system with sparse LU and adapt
+  the allowed-residual threshold via an effective-resistance estimate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gmres_tpu.frontend.mna import MnaSystem
+from gmres_tpu.frontend.sources import eval_sources
+from gmres_tpu.models.transient import PgTransientResult
+from gmres_tpu.ops.formats import CSRMatrix
+from gmres_tpu.solvers.direct import SparseLU
+
+__all__ = ["EtbrModel", "etbr_reduce", "reduced_transient", "mixed_transient"]
+
+
+@dataclasses.dataclass
+class EtbrModel:
+    Gr: np.ndarray        # (q, q)
+    Cr: np.ndarray        # (q, q)
+    Br: np.ndarray        # (q, nsrc)
+    X: np.ndarray         # (n, q) projection basis
+    samples: np.ndarray   # frequency sample points
+    sigma: np.ndarray     # singular values of Z (reduction diagnostics)
+    max_i: float          # largest source-current magnitude (error control)
+
+    @property
+    def q(self) -> int:
+        return self.Gr.shape[0]
+
+
+def _sample_frequencies(q: int, tstep: float, fft_n: int) -> np.ndarray:
+    forced = np.array([0.0, 1.0, 10.0, 1e5, 1e6, 1e7])
+    if q > 6:
+        f_min = 1.0 / tstep / fft_n
+        f_max = 0.5 / tstep
+        logs = np.logspace(np.log10(f_min), np.log10(f_max), q - 6)
+        return np.concatenate([forced, logs])
+    return forced[:q] if q <= 6 else forced
+
+
+def _source_spectra(mna: MnaSystem, tstep: float, tstop: float,
+                    samples: np.ndarray, fft_n: int = 1024):
+    """u_hat[s, i] = magnitude spectrum of source s at sample frequency i."""
+    t = np.arange(0.0, tstop + 0.5 * tstep, tstep)
+    L = len(t)
+    U = eval_sources(mna.sources, t)  # (L, nsrc)
+    max_i = float(np.abs(U).max()) if U.size else 0.0
+    buf = np.zeros((fft_n, U.shape[1]))
+    buf[: min(L, fft_n)] = U[:fft_n]
+    spec = np.abs(np.fft.rfft(buf, axis=0)) * (2.0 / L)  # (fft_n/2+1, nsrc)
+    f = np.linspace(0.0, 0.5 / tstep, fft_n // 2 + 1)
+    us = np.empty((len(samples), U.shape[1]))
+    for j in range(U.shape[1]):
+        us[:, j] = np.interp(samples, f, spec[:, j])
+    return us, max_i
+
+
+def etbr_reduce(
+    mna: MnaSystem,
+    q: int = 20,
+    tstep: Optional[float] = None,
+    tstop: Optional[float] = None,
+    method: str = "lu",
+    workers: int = 0,
+    fft_n: int = 1024,
+    gmres_opts: Optional[dict] = None,
+) -> EtbrModel:
+    h = tstep or mna.tstep
+    stop = tstop or mna.tstop
+    samples = _sample_frequencies(q, h, fft_n)
+    us, max_i = _source_spectra(mna, h, stop, samples, fft_n)
+    Gs, Cs, Bs = mna.G.to_scipy(), mna.C.to_scipy(), mna.B.to_scipy()
+    n = Gs.shape[0]
+    rhs = Bs @ us.T  # (n, np)
+
+    if method == "lu":
+        def solve_one(i):
+            A = CSRMatrix.from_scipy((Gs + samples[i] * Cs).tocsr())
+            return SparseLU(A).solve(rhs[:, i])
+
+        if workers and workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                cols = list(ex.map(solve_one, range(len(samples))))
+        else:
+            cols = [solve_one(i) for i in range(len(samples))]
+        Z = np.stack(cols, axis=1)
+    elif method == "gmres":
+        Z = _batched_gmres_samples(Gs, Cs, samples, rhs,
+                                   **(gmres_opts or {}))
+    else:
+        raise ValueError(f"unknown etbr method {method!r}")
+
+    U, S, _ = np.linalg.svd(Z, full_matrices=False)
+    qq = min(q, U.shape[1])
+    X = U[:, :qq]
+    Gr = X.T @ (Gs @ X)
+    Cr = X.T @ (Cs @ X)
+    Br = X.T @ Bs
+    return EtbrModel(Gr=Gr, Cr=Cr, Br=np.asarray(Br), X=X,
+                     samples=samples, sigma=S, max_i=max_i)
+
+
+def _batched_gmres_samples(Gs, Cs, samples, rhs, dtype=jnp.float64,
+                           tol=1e-10, restart=60, maxiter=20000):
+    """Device path: one vmapped GMRES over all frequency samples — the TPU
+    equivalent of the pthread fan-out (SURVEY.md §2.7 P3). The operator
+    (G + f C) x is two SpMVs with f a batched scalar; Jacobi of each shifted
+    matrix preconditions (per-sample ILU factorizations would serialize on
+    the host, defeating the batch)."""
+    from gmres_tpu.solvers.gmres import gmres
+
+    G_ell = CSRMatrix.from_scipy(Gs.tocsr()).to_ell(dtype=dtype)
+    C_ell = CSRMatrix.from_scipy(Cs.tocsr()).to_ell(dtype=dtype)
+    gd = Gs.diagonal()
+    cd = Cs.diagonal()
+    fs = jnp.asarray(samples, dtype=dtype)
+    B = jnp.asarray(rhs.T, dtype=dtype)  # (np, n)
+    invd = []
+    for f in samples:
+        d = gd + f * cd
+        invd.append(1.0 / np.where(np.abs(d) > 0, d, 1.0))
+    invD = jnp.asarray(np.stack(invd), dtype=dtype)
+
+    from gmres_tpu.ops.spmv import ell_spmv
+
+    def solve_one(f, b, dinv):
+        op = lambda v: ell_spmv(G_ell, v) + f * ell_spmv(C_ell, v)
+        Ml = lambda v: dinv * v
+        return gmres(op, b, restart=restart, tol=tol, maxiter=maxiter,
+                     M_left=Ml).x
+
+    Z = jax.vmap(solve_one)(fs, B, invD)
+    return np.asarray(Z, dtype=np.float64).T
+
+
+def _reduced_mats(model: EtbrModel, mna: MnaSystem, h: float):
+    Ar = model.Gr + model.Cr / h
+    Chr = model.Cr / h
+    return Ar, Chr
+
+
+def reduced_transient(
+    model: EtbrModel,
+    mna: MnaSystem,
+    tstep: Optional[float] = None,
+    tstop: Optional[float] = None,
+    dtype=jnp.float64,
+    xr0: Optional[np.ndarray] = None,
+) -> PgTransientResult:
+    """All-device reduced BE loop (one lax.scan; cudaTranSim analogue)."""
+    h = tstep or mna.tstep
+    stop = tstop or mna.tstop
+    U = mna.source_table(h, stop)
+    times = h * (np.arange(U.shape[0]) + 1)
+    Ar, Chr = _reduced_mats(model, mna, h)
+    ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
+    Xp = model.X[ports]  # (nports, q) — the reference's LV projection
+
+    from gmres_tpu.models.dc import dc_solve
+
+    if xr0 is None:
+        x_dc = dc_solve(mna, method="direct")
+        xr = model.X.T @ x_dc
+    else:
+        xr = np.asarray(xr0)
+    dc = model.X @ xr
+
+    lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(Ar, dtype=dtype))
+    Chr_d = jnp.asarray(Chr, dtype=dtype)
+    Br_d = jnp.asarray(model.Br, dtype=dtype)
+    Xp_d = jnp.asarray(Xp, dtype=dtype)
+    U_d = jnp.asarray(U, dtype=dtype)
+
+    @jax.jit
+    def run(xr0_d):
+        def step(xr, u):
+            w = Br_d @ u + Chr_d @ xr
+            xr1 = jax.scipy.linalg.lu_solve((lu, piv), w)
+            return xr1, Xp_d @ xr1
+
+        _, outs = lax.scan(step, xr0_d, U_d)
+        return outs
+
+    out = np.asarray(run(jnp.asarray(xr, dtype=dtype)), dtype=np.float64)
+    return PgTransientResult(times=times, port_values=out, dc=dc)
+
+
+def mixed_transient(
+    model: EtbrModel,
+    mna: MnaSystem,
+    tstep: Optional[float] = None,
+    tstop: Optional[float] = None,
+    threshold: float = 0.05,
+    vdd: Optional[float] = None,
+) -> PgTransientResult:
+    """Reduced stepping with dynamic error control (transim2.cpp:440-610):
+    track the residual current of the reduced solution; when it exceeds the
+    allowed level, re-solve the full system by sparse LU and continue from
+    the exact state, adapting the threshold via an effective-resistance
+    estimate (allowed voltage error / observed max drop per unit current).
+    """
+    h = tstep or mna.tstep
+    stop = tstop or mna.tstop
+    U = mna.source_table(h, stop)
+    times = h * (np.arange(U.shape[0]) + 1)
+    Gs, Cs, Bs = mna.G.to_scipy(), mna.C.to_scipy(), mna.B.to_scipy()
+    Chs = Cs / h
+    Afull = CSRMatrix.from_scipy((Gs + Chs).tocsr())
+    lu_full = SparseLU(Afull)
+    Ar, Chr = _reduced_mats(model, mna, h)
+    import scipy.linalg as sla
+
+    lupiv = sla.lu_factor(Ar)
+    ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
+
+    from gmres_tpu.models.dc import dc_solve
+
+    x = dc_solve(mna, method="direct")
+    dc = x.copy()
+    vdd = vdd if vdd is not None else (np.abs(dc).max() or 1.0)
+    allowed_v = threshold * vdd
+    # effective resistance here = transfer factor from residual current to
+    # node-voltage error, calibrated on full re-solves (the role of
+    # avg_eff_resist, transim2.cpp:440-610)
+    eff_resist = None
+    allow_cur_resid = 0.0  # force a calibrating full solve at step 0
+    n_resolves = 0
+    As = Afull.to_scipy()
+
+    out = np.empty((U.shape[0], ports.size))
+    for k in range(U.shape[0]):
+        w_full = Bs @ U[k] + Chs @ x
+        xr = model.X.T @ x
+        wr = model.Br @ U[k] + Chr @ xr
+        xr1 = sla.lu_solve(lupiv, wr)
+        x1 = model.X @ xr1
+        # residual current of the reduced solution in the full system
+        resid = w_full - As @ x1
+        max_resid = np.abs(resid).max()
+        if max_resid > allow_cur_resid:
+            x_exact = lu_full.solve(w_full)
+            n_resolves += 1
+            v_err = np.abs(x1[: mna.num_nodes] - x_exact[: mna.num_nodes]).max()
+            if max_resid > 0 and v_err > 0:
+                r_est = v_err / max_resid
+                eff_resist = (r_est if eff_resist is None
+                              else 0.5 * (eff_resist + r_est))
+                allow_cur_resid = allowed_v / eff_resist
+            x1 = x_exact
+        x = x1
+        out[k] = x[ports]
+    return PgTransientResult(
+        times=times, port_values=out, dc=dc,
+        stats={"full_resolves": n_resolves,
+               "allow_cur_resid": float(allow_cur_resid)},
+    )

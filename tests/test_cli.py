@@ -1,0 +1,96 @@
+"""CLI drivers end-to-end (etbr_cmd / thermal-main equivalents)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from gmres_tpu.cli.pg import main as pg_main
+from gmres_tpu.cli.thermal import main as thermal_main
+from gmres_tpu.frontend.gcb import GCBSystem, write_mtx, write_uvec
+from gmres_tpu.ops.formats import CSRMatrix
+
+from conftest import poisson2d
+
+
+def _grid_netlist(tmp_path, N=6):
+    lines = ["V1 vdd 0 DC 1.8", "Rsrc vdd n0_0 0.1"]
+    for i in range(N):
+        for j in range(N):
+            if i + 1 < N:
+                lines.append(f"Rh{i}_{j} n{i}_{j} n{i+1}_{j} 2")
+            if j + 1 < N:
+                lines.append(f"Rv{i}_{j} n{i}_{j} n{i}_{j+1} 2")
+            lines.append(f"Cd{i}_{j} n{i}_{j} 0 0.5p")
+    lines.append(f"I1 n3_3 0 PWL(0 0 40n 50m 200n 50m)")
+    lines.append(".tran 4n 200n")
+    lines.append(".print v(n3_3) v(n0_0)")
+    p = tmp_path / "grid.sp"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_pg_cli_direct(tmp_path, capsys):
+    path = _grid_netlist(tmp_path)
+    assert pg_main([path, "-ir"]) == 0
+    outtext = capsys.readouterr().out
+    assert "parsed" in outtext and "runtime summary" in outtext
+    assert (tmp_path / "grid.output").exists()
+    assert (tmp_path / "grid.ir").exists()
+    assert (tmp_path / "grid.xgraph").exists()
+
+
+def test_pg_cli_gmres_double(tmp_path):
+    path = _grid_netlist(tmp_path)
+    assert pg_main([path, "-gmres", "-double", "-precond", "ilu0"]) == 0
+
+
+def test_pg_cli_fast_ec(tmp_path):
+    path = _grid_netlist(tmp_path)
+    assert pg_main([path, "-fast", "-nq", "8", "-ec", "-th", "0.01"]) == 0
+    assert (tmp_path / "grid.output").exists()
+
+
+def test_pg_cli_dc(tmp_path):
+    path = _grid_netlist(tmp_path)
+    assert pg_main([path, "-dc"]) == 0
+    assert (tmp_path / "grid.output").exists()
+
+
+def _make_gcb_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 49
+    h = 1e-3
+    G = poisson2d(7).to_scipy() * 1e-2 + sp.eye(n) * 1e-3
+    C = sp.diags(rng.uniform(1e-6, 1e-5, n))
+    A = CSRMatrix.from_scipy((G + C / h).tocsr())
+    m, steps = 4, 6
+    cols = rng.choice(n, m, replace=False)
+    B = CSRMatrix.from_scipy(sp.csr_matrix(
+        (np.ones(m), (cols, np.arange(m))), shape=(n, m)))
+    U = rng.uniform(0, 1e-3, (m, steps))
+    d = tmp_path / "gcb"
+    d.mkdir()
+    write_mtx(str(d / "A.mtx"), A)
+    write_mtx(str(d / "B.mtx"), B)
+    write_mtx(str(d / "C.mtx"), CSRMatrix.from_scipy(sp.csr_matrix(C)))
+    write_uvec(str(d / "u_vec.mtx"), U)
+    (d / "t_step.mtx").write_text(f" {h:.7e}\n")
+    return str(d)
+
+
+def test_thermal_cli_transient(tmp_path, capsys):
+    d = _make_gcb_dir(tmp_path)
+    out = str(tmp_path / "xTPU.txt")
+    assert thermal_main([d, "-precond", "ilu0", "-double", "-o", out]) == 0
+    x = np.loadtxt(out)
+    assert x.shape == (49,)
+    assert "all converged=True" in capsys.readouterr().out
+
+
+def test_thermal_cli_oneshot_and_bench(tmp_path, capsys):
+    d = _make_gcb_dir(tmp_path)
+    out = str(tmp_path / "x1.txt")
+    assert thermal_main([d, "-oneshot", "-precond", "ainv", "-double",
+                         "-o", out]) == 0
+    assert thermal_main([d, "-bench-spmv"]) == 0
+    txt = capsys.readouterr().out
+    assert "GFLOPS" in txt and "PASSED" in txt
