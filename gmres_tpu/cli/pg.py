@@ -35,6 +35,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-ec", action="store_true", help="error-controlled mixed stepping")
     ap.add_argument("-th", type=float, default=0.05, help="error/IR threshold")
     ap.add_argument("-mt", type=int, default=0, metavar="N", help="threaded sample solves")
+    ap.add_argument("-np", dest="nparts", type=int, default=1,
+                    help="domain-decomposition parts for sample solves")
+    ap.add_argument("-ooc", action="store_true",
+                    help="out-of-core DD (spill part blocks to disk)")
     ap.add_argument("-tpu", "-gpu", dest="device", action="store_true",
                     help="run engines on the accelerator")
     ap.add_argument("-single", dest="single", action="store_true", default=True)
@@ -97,6 +101,7 @@ def main(argv=None) -> int:
             model = etbr_reduce(
                 mna, q=args.nq, workers=args.mt,
                 method="gmres" if (args.device and args.gmres) else "lu",
+                nparts=args.nparts, out_of_core=args.ooc,
             )
         print(f"* reduced order q={model.q}, "
               f"sigma1={model.sigma[0]:.3e}, "

@@ -93,7 +93,12 @@ def etbr_reduce(
     workers: int = 0,
     fft_n: int = 1024,
     gmres_opts: Optional[dict] = None,
+    nparts: int = 1,
+    out_of_core: bool = False,
 ) -> EtbrModel:
+    """``nparts > 1`` solves each frequency sample by Schur-complement domain
+    decomposition (the `-np` path, etbr_dd.cpp:49-177: re-form the bordered
+    split per sample on the shared partition, solve parts + interface)."""
     h = tstep or mna.tstep
     stop = tstop or mna.tstop
     samples = _sample_frequencies(q, h, fft_n)
@@ -102,7 +107,24 @@ def etbr_reduce(
     n = Gs.shape[0]
     rhs = Bs @ us.T  # (n, np)
 
-    if method == "lu":
+    if nparts > 1:
+        from gmres_tpu.parallel.dd import DDSolver, dd_form, partition_graph
+
+        pattern = CSRMatrix.from_scipy((Gs + Cs).tocsr())
+        part = partition_graph(pattern, nparts)
+
+        def solve_one_dd(i):
+            A = CSRMatrix.from_scipy((Gs + samples[i] * Cs).tocsr())
+            form = dd_form(A, part)
+            return DDSolver(form, out_of_core=out_of_core).solve(rhs[:, i])
+
+        if workers and workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                cols = list(ex.map(solve_one_dd, range(len(samples))))
+        else:
+            cols = [solve_one_dd(i) for i in range(len(samples))]
+        Z = np.stack(cols, axis=1)
+    elif method == "lu":
         def solve_one(i):
             A = CSRMatrix.from_scipy((Gs + samples[i] * Cs).tocsr())
             return SparseLU(A).solve(rhs[:, i])
