@@ -1,13 +1,13 @@
 """Pallas TPU SpMV kernels.
 
-``dia_spmv_pallas``: the stencil fast path. The whole x vector stays resident
-in VMEM; each (row-tile, diagonal) contribution is two sublane-aligned
-dynamic slices + two lane rolls + a select + an FMA — no gathers, no
-unaligned loads, no per-call repacking (matrices are built padded-square via
-``CSRMatrix.to_dia(pad_to=...)``, and out-of-range clamped reads are
-neutralized by the zero diagonal coefficients the host packer already writes
-at the edges). HBM traffic is the information-theoretic minimum: diag data
-once, x once, y once.
+``dia_spmv_pallas``: the stencil fast path. The x vector (with explicit zero
+lead/tail slack so every slice is strictly in bounds — OOB dynamic slices
+are undefined behavior on TPU and can fault the worker) stays resident in
+VMEM; each (row-tile, diagonal) contribution is two sublane-aligned dynamic
+slices + two lane rolls + a select + an FMA — no gathers, no unaligned
+loads. Matrices are built padded-square via ``CSRMatrix.to_dia(pad_to=...)``
+and the zero edge coefficients written by the host packer neutralize the
+slack reads.
 
 The reference's analogue is the half-warp CSR kernel + inspector staging of
 x tiles in shared memory (SpMV_kernel.cu:166-251, SpMV_inspect.cpp); here
@@ -29,15 +29,14 @@ __all__ = ["dia_spmv_pallas", "dia_pallas_supported"]
 
 _LANES = 128
 _TILES = (32768, 16384, 8192, 4096, 2048, 1024)
-# Padded x must fit VMEM alongside a data tile (~16 MB/core).
-_VMEM_X_LIMIT = 3_000_000
+# Padded x must fit VMEM alongside double-buffered data tiles (~16 MB/core).
+_VMEM_X_LIMIT = 2_800_000
 
 
 def _shifted_window(x_ref, s0, nrows, r):
     """Rows of the (S,128) x buffer holding flat elements
     [(s0*128 + r) + k for k in range(nrows*128)]: a cross-row left-shift by
-    r lanes. Slices clamp at the buffer edge; callers rely on zero matrix
-    coefficients to cancel clamped garbage."""
+    r lanes. All slices are in bounds by construction (lead/tail slack)."""
     A = x_ref[pl.ds(s0, nrows), :]
     if r == 0:
         return A
@@ -48,12 +47,14 @@ def _shifted_window(x_ref, s0, nrows, r):
     return jnp.where(lane < _LANES - r, Ar, Br)
 
 
-def _dia_kernel(offsets, rows_per_tile, acc_dtype, x_ref, data_ref, out_ref):
+def _dia_kernel(offsets, lead, rows_per_tile, acc_dtype, x_ref, data_ref,
+                out_ref):
     i = pl.program_id(0)
     acc = jnp.zeros((rows_per_tile, _LANES), dtype=acc_dtype)
     for d, off in enumerate(offsets):
-        r = off % _LANES
-        q = (off - r) // _LANES
+        start = lead + off  # flat position of this diagonal's first read
+        r = start % _LANES
+        q = (start - r) // _LANES
         s0 = i * rows_per_tile + q
         sh = _shifted_window(x_ref, s0, rows_per_tile, r)
         acc = acc + data_ref[d].astype(acc_dtype) * sh.astype(acc_dtype)
@@ -92,10 +93,19 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, interpret: bool = False):
     dtype = x.dtype
     ndiag = A.data.shape[0]
     rpt = tile // _LANES
-    x2d = x.reshape(n_pad // _LANES, _LANES)
+    # explicit zero lead/tail so every (s0, s0+1) slice is strictly in
+    # bounds: lead covers the most-negative offset, tail covers the
+    # most-positive one plus the B-slice overhang of _shifted_window.
+    maxneg = max(0, -min(A.offsets)) if A.offsets else 0
+    maxpos = max(0, max(A.offsets)) if A.offsets else 0
+    lead = -(-maxneg // _LANES) * _LANES
+    tail = -(-maxpos // _LANES) * _LANES + _LANES
+    x2d = jnp.concatenate(
+        [jnp.zeros((lead,), dtype), x, jnp.zeros((tail,), dtype)]
+    ).reshape(-1, _LANES)
     data3 = A.data.reshape(ndiag, n_pad // _LANES, _LANES)
     acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
-    kern = partial(_dia_kernel, A.offsets, rpt, acc_dtype)
+    kern = partial(_dia_kernel, A.offsets, lead, rpt, acc_dtype)
     out = pl.pallas_call(
         kern,
         grid=(n_pad // tile,),

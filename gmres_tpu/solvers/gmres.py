@@ -43,6 +43,9 @@ class GmresResult(NamedTuple):
     iterations: jax.Array    # total inner Arnoldi steps
     restarts: jax.Array      # completed restart cycles
     converged: jax.Array     # bool
+    # per-restart-cycle absolute residual trace (NaN-padded), when the
+    # caller asked for telemetry (gmres.cu:1155's residual stream analogue)
+    history: Optional[jax.Array] = None
 
 
 def _identity(v):
@@ -69,10 +72,11 @@ def _givens(a, b, eps):
 
 @partial(
     jax.jit,
-    static_argnames=("restart", "maxiter", "dot_dtype", "axis"),
+    static_argnames=("restart", "maxiter", "dot_dtype", "axis",
+                     "track_history"),
 )
 def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
-                axis=None):
+                axis=None, track_history=False):
     """Core GMRES(m). When ``axis`` names a mesh axis (inside shard_map),
     vectors are row-sharded and every reduction becomes a psum over that axis
     (the distributed-MGS design of SURVEY.md §2.7 P5)."""
@@ -159,28 +163,37 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         dx = M_right(y @ V[:m])
         return x + dx, res, j
 
+    max_cycles = min(-(-maxiter // max(restart, 1)) + 1, 8192)
+
     def outer_cond(st):
-        x, res, iters, cycles, done = st
+        x, res, iters, cycles, done, hist = st
         return (~done) & (iters < maxiter)
 
     def outer_body(st):
-        x, res, iters, cycles, done = st
+        x, res, iters, cycles, done, hist = st
         x, res, j = arnoldi_cycle(x)
+        if track_history:
+            hist = hist.at[jnp.minimum(cycles, max_cycles - 1)].set(res)
         done = res <= tol_abs
         # A cycle that takes zero steps cannot make progress: stop.
         done = done | (j == 0)
-        return (x, res, iters + j, cycles + 1, done)
+        return (x, res, iters + j, cycles + 1, done, hist)
 
     r0 = M_left(b - A(x0))
     res0 = _norm(r0, dot_dtype, axis)
-    st = (x0, res0, jnp.asarray(0), jnp.asarray(0), res0 <= tol_abs)
-    x, res, iters, cycles, done = lax.while_loop(outer_cond, outer_body, st)
+    hist0 = (jnp.full((max_cycles,), jnp.nan, dtype)
+             if track_history else jnp.zeros((0,), dtype))
+    st = (x0, res0, jnp.asarray(0), jnp.asarray(0), res0 <= tol_abs, hist0)
+    x, res, iters, cycles, done, hist = lax.while_loop(
+        outer_cond, outer_body, st
+    )
     return GmresResult(
         x=x,
         residual=res / bnorm,
         iterations=iters,
         restarts=cycles,
         converged=res <= tol_abs,
+        history=hist if track_history else None,
     )
 
 
@@ -195,6 +208,7 @@ def gmres(
     M_left: Optional[Callable] = None,
     M_right: Optional[Callable] = None,
     dot_dtype=None,
+    track_history: bool = False,
 ) -> GmresResult:
     """Solve ``A x = b`` with restarted, preconditioned GMRES(m).
 
@@ -225,6 +239,7 @@ def gmres(
         restart=int(restart),
         maxiter=int(maxiter),
         dot_dtype=dot_dtype,
+        track_history=track_history,
     )
 
 

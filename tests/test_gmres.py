@@ -109,3 +109,16 @@ def test_jit_wrapped():
 
     x = solve(b)
     assert _true_relres(A, x, np.ones(36)) < 1e-6
+
+
+def test_residual_history():
+    A = poisson2d(10)
+    b = np.ones(A.shape[0])
+    res = gmres(A.to_ell(dtype=jnp.float64), jnp.asarray(b), restart=10,
+                tol=1e-8, maxiter=2000, track_history=True)
+    assert bool(res.converged)
+    h = np.asarray(res.history)
+    k = int(res.restarts)
+    assert np.isfinite(h[:k]).all() and np.isnan(h[k:]).all()
+    # monotone-ish decrease: final recorded residual is the smallest
+    assert h[k - 1] == np.nanmin(h[:k])
