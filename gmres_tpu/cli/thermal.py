@@ -44,7 +44,7 @@ def main(argv=None) -> int:
 
     from gmres_tpu.frontend.gcb import read_gcb, write_vector
     from gmres_tpu.models.thermal import thermal_transient
-    from gmres_tpu.ops.spmv import spmv
+    from gmres_tpu.ops.spmv import device_operator
     from gmres_tpu.precond import make_preconditioner
     from gmres_tpu.solvers.gmres import gmres
     from gmres_tpu.utils.timing import PhaseTimers
@@ -59,12 +59,12 @@ def main(argv=None) -> int:
           f"inputs={sys_.B.shape[1]}, steps={sys_.num_steps}, h={sys_.t_step:g}")
 
     with timers.phase("formats"):
-        A_dev = sys_.A.to_ell(dtype=dtype)
+        A_op = device_operator(sys_.A, dtype=dtype)
         x0 = np.zeros(sys_.n)
 
     if args.verify or args.bench_spmv:
         xr = np.random.default_rng(0).standard_normal(sys_.n)
-        y_dev = np.asarray(spmv(A_dev, jnp.asarray(xr, dtype=dtype)))
+        y_dev = np.asarray(jax.jit(lambda v: A_op(v))(jnp.asarray(xr, dtype=dtype)))
         y_ref = sys_.A.matvec(xr)
         rel = np.linalg.norm(y_dev - y_ref) / np.linalg.norm(y_ref)
         print(f"* SpMV verify: rel L2 err = {rel:.3e} "
@@ -80,7 +80,7 @@ def main(argv=None) -> int:
 
         @jax.jit
         def chain(x):
-            return lax.fori_loop(0, iters, lambda i, v: spmv(A_dev, v) * 0.5, x)
+            return lax.fori_loop(0, iters, lambda i, v: A_op(v) * 0.5, x)
 
         _ = float(jnp.sum(chain(xd)))
         t0 = time.perf_counter()
@@ -93,12 +93,12 @@ def main(argv=None) -> int:
         return 0
 
     with timers.phase("precond_setup"):
-        M = make_preconditioner(args.precond, sys_.A, dtype=dtype)
+        M = make_preconditioner(args.precond, sys_.A, dtype=dtype, fmt="auto")
 
     if args.oneshot:
         b = sys_.B.matvec(sys_.U[:, 0])
         with timers.phase("gmres"):
-            res = gmres(A_dev, jnp.asarray(b, dtype=dtype),
+            res = gmres(A_op, jnp.asarray(b, dtype=dtype),
                         restart=args.restart, tol=args.tol,
                         maxiter=args.maxiter, M_left=M)
         print(f"* one-shot GMRES: iters={int(res.iterations)}, "
@@ -115,10 +115,11 @@ def main(argv=None) -> int:
         U = U[: args.steps]
     with timers.phase("transient"):
         res = thermal_transient(
-            A_dev,
-            sys_.B.to_ell(dtype=dtype),
-            sys_.C_over_h().to_ell(dtype=dtype),
+            A_op,
+            device_operator(sys_.B, dtype=dtype),
+            device_operator(sys_.C_over_h(), dtype=dtype),
             U,
+            x0=jnp.zeros((sys_.n,), dtype),
             restart=args.restart, tol=args.tol, maxiter=args.maxiter,
             M_left=M, dtype=dtype,
         )

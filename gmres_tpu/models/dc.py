@@ -34,9 +34,11 @@ def dc_solve(
     if method == "direct":
         return SparseLU(mna.G).solve(rhs)
     if method == "gmres":
-        M = make_preconditioner(precond, mna.G, dtype=dtype)
+        from gmres_tpu.ops.spmv import device_operator
+
+        M = make_preconditioner(precond, mna.G, dtype=dtype, fmt="auto")
         res = gmres(
-            mna.G.to_ell(dtype=dtype),
+            device_operator(mna.G, dtype=dtype),
             jnp.asarray(rhs, dtype=dtype),
             restart=restart, tol=tol, maxiter=maxiter, M_left=M,
         )

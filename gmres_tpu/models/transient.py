@@ -88,15 +88,17 @@ def transient_gmres(
     (gmres_interface_pg.cu:7)."""
     from gmres_tpu.models.dc import dc_solve
 
+    from gmres_tpu.ops.spmv import device_operator
+
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
     x = dc_solve(mna, method=dc_method) if x0 is None else np.asarray(x0)
     dc = x.copy()
-    M = make_preconditioner(precond, A, dtype=dtype)
+    M = make_preconditioner(precond, A, dtype=dtype, fmt="auto")
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
     res = thermal_transient(
-        A.to_ell(dtype=dtype),
-        mna.B.to_ell(dtype=dtype),
-        Ch.to_ell(dtype=dtype),
+        device_operator(A, dtype=dtype),
+        device_operator(mna.B, dtype=dtype),
+        device_operator(Ch, dtype=dtype),
         U,
         x0=jnp.asarray(x, dtype=dtype),
         restart=restart, tol=tol, maxiter=maxiter, M_left=M, dtype=dtype,

@@ -40,6 +40,27 @@ class MatOp:
         return _spmv(self.A, v)
 
 
+@partial(jax.tree_util.register_dataclass, data_fields=["A"],
+         meta_fields=["rows", "cols"])
+@dataclasses.dataclass(frozen=True)
+class PaddedMatOp:
+    """Logical (rows x cols) view of a device matrix stored padded (DIA with
+    pad_to, WELL): pads x up to the stored column count, slices y back."""
+
+    A: Any
+    rows: int
+    cols: int
+
+    def __call__(self, v):
+        import jax.numpy as jnp
+
+        pad = self.A.shape[1] - self.cols
+        if pad > 0:
+            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+        y = _spmv(self.A, v)
+        return y[: self.rows]
+
+
 @partial(jax.tree_util.register_dataclass, data_fields=["outer", "inner"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
@@ -63,13 +84,24 @@ class IdentityOp:
 identity = IdentityOp()
 
 
-def as_operator(A) -> Any:
-    """Coerce a matrix / callable / operator / None into an operator pytree."""
+def as_operator(A, logical_shape=None) -> Any:
+    """Coerce a matrix / callable / operator / None into an operator pytree.
+
+    ``logical_shape=(rows, cols)`` wraps padded device formats so callers
+    keep working in logical coordinates.
+    """
     if A is None:
         return identity
     if hasattr(A, "shape") and not callable(A):
+        ln = getattr(A, "logical_n", None)
+        if logical_shape is not None:
+            r, c = logical_shape
+            if (r, c) != tuple(A.shape):
+                return PaddedMatOp(A, rows=int(r), cols=int(c))
+        elif ln is not None and ln >= 0 and ln != A.shape[0]:
+            return PaddedMatOp(A, rows=int(ln), cols=int(ln))
         return MatOp(A)
-    if isinstance(A, (FnOp, MatOp, ComposeOp, IdentityOp)):
+    if isinstance(A, (FnOp, MatOp, ComposeOp, IdentityOp, PaddedMatOp)):
         return A
     if dataclasses.is_dataclass(A) and callable(A):
         # registered preconditioner pytrees (JacobiPrecond, AinvPrecond, ...)

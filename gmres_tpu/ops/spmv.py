@@ -83,8 +83,50 @@ spmv.register(DeviceCOO)(coo_spmv)
 spmv.register(DeviceCSR)(csr_spmv)
 
 
+
+
 def as_matvec(A):
     """Return a closure y = A @ x for any supported format (or a callable)."""
     if callable(A) and not hasattr(A, "shape"):
         return A
     return lambda x: spmv(A, x)
+
+
+def device_operator(A, dtype=jnp.float32, backend=None, max_diags: int = 96):
+    """Pick the fastest device format and wrap it as a logical-shape
+    operator (padding handled transparently)."""
+    from gmres_tpu.ops.operator import as_operator
+
+    dev = device_matrix(A, dtype=dtype, backend=backend, max_diags=max_diags)
+    return as_operator(dev, logical_shape=A.shape)
+
+
+def device_matrix(A, dtype=jnp.float32, backend=None, max_diags: int = 96):
+    """Pick the fastest device format for this backend.
+
+    TPU: DIA when the matrix is stencil-like (few distinct diagonals —
+    SpMV becomes shifted multiplies on the Pallas fast path), otherwise
+    WELL (lane-gather windowed ELL; XLA's generic gather is ~300x slower).
+    CPU/other: padded ELL (XLA gather is fine there).
+    """
+    backend = backend or jax.default_backend()
+    n_rows, n_cols = A.shape
+    # extremely sparse tall operators (source-incidence B matrices): COO
+    # scatter — nnz is tiny, any tiled format would waste whole tiles
+    if A.nnz * 16 < n_rows:
+        return A.to_device_coo(dtype=dtype)
+    if backend == "tpu":
+        try:
+            lengths = A.row_lengths()
+            import numpy as _np
+
+            rows = _np.repeat(_np.arange(A.shape[0]), lengths)
+            ndiags = _np.unique(A.indices.astype(_np.int64) - rows).size
+        except Exception:
+            ndiags = max_diags + 1
+        if ndiags <= max_diags and n_rows == n_cols:
+            return A.to_dia(dtype=dtype, pad_to=1024, max_diags=max_diags)
+        from gmres_tpu.ops.well import to_well
+
+        return to_well(A, dtype=dtype)
+    return A.to_ell(dtype=dtype)

@@ -76,9 +76,11 @@ class WellMatrix:
 
 
 def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMatrix:
-    """Pack host CSR into WELL (the 'inspection' pass)."""
-    n = A.shape[0]
+    """Pack host CSR into WELL (the 'inspection' pass). Supports rectangular
+    matrices: rows pad to the tile grid, columns to the window grid."""
+    n, ncols = A.shape
     n_pad = round_up(max(n, _LANES), _LANES)
+    ncols_pad = round_up(max(ncols, _LANES), _LANES)
     ntiles = n_pad // _LANES
     ntiles_pad = round_up(ntiles, tiles_per_step)
     steps = ntiles_pad // tiles_per_step
@@ -173,7 +175,7 @@ def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMa
         widx=jnp.asarray(Wi),
         lrow=jnp.asarray(Lr),
         valid=jnp.asarray(Va),
-        shape=(n_pad, n_pad),
+        shape=(ntiles_pad * _LANES, ncols_pad),
         logical_n=n,
         tiles_per_step=tiles_per_step,
         chunks_per_step=M,
@@ -201,16 +203,14 @@ def _well_kernel(M, tiles_per_step, wi_ref, lr_ref, va_ref, x_ref, vals_ref,
 
 @partial(jax.jit, static_argnames=("interpret",))
 def well_spmv(A: WellMatrix, x: jax.Array, interpret: bool = False) -> jax.Array:
-    """y = A @ x; x length n_pad (padded), output length n_pad."""
-    n_pad = A.shape[0]
-    if x.shape[0] != n_pad:
-        raise ValueError(f"x length {x.shape[0]} != padded size {n_pad}")
+    """y = A @ x; x length shape[1] (padded cols), output length shape[0]."""
+    if x.shape[0] != A.shape[1]:
+        raise ValueError(f"x length {x.shape[0]} != padded cols {A.shape[1]}")
     steps = A.steps
     M = A.chunks_per_step
     tps = A.tiles_per_step
     ntiles_pad = steps * tps
-    # x windows indexed by widx < n_pad/128; pad x2d so every window id valid
-    x2d = x.reshape(n_pad // _LANES, _LANES)
+    x2d = x.reshape(A.shape[1] // _LANES, _LANES)
     kern = partial(_well_kernel, M, tps)
     out = pl.pallas_call(
         kern,
@@ -236,13 +236,12 @@ def well_spmv(A: WellMatrix, x: jax.Array, interpret: bool = False) -> jax.Array
         out_shape=jax.ShapeDtypeStruct((ntiles_pad, _LANES), x.dtype),
         interpret=interpret,
     )(A.widx, A.lrow, A.valid, x2d, A.vals, A.lcols)
-    return out.reshape(ntiles_pad * _LANES)[:n_pad]
+    return out.reshape(ntiles_pad * _LANES)
 
 
 def well_spmv_reference(A: WellMatrix, x: jax.Array) -> jax.Array:
     """Pure-jnp executor with identical semantics (CPU/debug oracle)."""
-    n_pad = A.shape[0]
-    x2d = x.reshape(n_pad // _LANES, _LANES)
+    x2d = x.reshape(A.shape[1] // _LANES, _LANES)
     steps, M = A.steps, A.chunks_per_step
     tps = A.tiles_per_step
     win = jnp.take(x2d, A.widx.reshape(steps, M), axis=0)   # (steps, M, 128)
@@ -257,4 +256,16 @@ def well_spmv_reference(A: WellMatrix, x: jax.Array) -> jax.Array:
     out = out.at[rows.reshape(-1)].add(
         contrib.reshape(steps * M, _LANES), mode="drop"
     )
-    return out.reshape(-1)[:n_pad]
+    return out.reshape(-1)
+
+
+# dispatch registration (spmv does not import well at module level, so no
+# circular import)
+from gmres_tpu.ops.spmv import spmv as _spmv_dispatch  # noqa: E402
+
+
+@_spmv_dispatch.register(WellMatrix)
+def _well_spmv_dispatch(A, x):
+    if jax.default_backend() == "tpu":
+        return well_spmv(A, x)
+    return well_spmv_reference(A, x)

@@ -172,6 +172,38 @@ class DistGmresSolver:
             )
         )
 
+        # batched multi-RHS over the 2-D (rows x batch) mesh: each batch
+        # shard runs the row-sharded solver under vmap (SURVEY §2.7 P7's
+        # row-parallel x sample-parallel grid)
+        self.batch_axis = "batch" if "batch" in mesh.shape else None
+        if self.batch_axis:
+            bvec = P(self.batch_axis, axis)
+            b_in = (
+                bvec, bvec, rep,
+                row_specs(self.Aop, axis), row_specs(self.Ml, axis),
+            )
+            b_out = GmresResult(
+                x=bvec, residual=P(self.batch_axis),
+                iterations=P(self.batch_axis), restarts=P(self.batch_axis),
+                converged=P(self.batch_axis),
+            )
+
+            def body_batch(b, x0, tol_, Aop, Ml):
+                return jax.vmap(
+                    lambda bb, xx: _gmres_impl(
+                        bb, xx, tol_, Aop, Ml, identity,
+                        restart=restart, maxiter=maxiter,
+                        dot_dtype=dot_dtype, axis=axis,
+                    )
+                )(b, x0)
+
+            self._solve_batch = jax.jit(
+                jax.shard_map(
+                    body_batch, mesh=mesh, in_specs=b_in, out_specs=b_out,
+                    check_vma=False,
+                )
+            )
+
     def device_rhs(self, b: np.ndarray) -> jax.Array:
         bp = self.part.pad_permute(np.asarray(b, dtype=np.float64))
         return jax.device_put(
@@ -192,6 +224,38 @@ class DistGmresSolver:
             iterations=res.iterations,
             restarts=res.restarts,
             converged=res.converged,
+        )
+
+
+    def solve_batch(self, B) -> GmresResult:
+        """Solve for a batch of RHS rows, sharded (batch, rows) over the 2-D
+        mesh. The batch count is padded to a multiple of the batch-axis size.
+        """
+        if not self.batch_axis:
+            raise ValueError("mesh has no 'batch' axis")
+        B = np.asarray(B, dtype=np.float64)
+        nrhs = B.shape[0]
+        nb = self.mesh.shape[self.batch_axis]
+        nrhs_pad = -(-nrhs // nb) * nb
+        Bp = np.zeros((nrhs_pad, self.part.n_padded))
+        for i in range(nrhs):
+            Bp[i] = self.part.pad_permute(B[i])
+        sh = NamedSharding(self.mesh, P(self.batch_axis, self.axis))
+        Bd = jax.device_put(jnp.asarray(Bp, dtype=self.dtype), sh)
+        res = self._solve_batch(
+            Bd, jnp.zeros_like(Bd), jnp.asarray(self.tol, self.dtype),
+            self.Aop, self.Ml,
+        )
+        X = np.stack([
+            self.part.unpad_unpermute(np.asarray(res.x[i]))
+            for i in range(nrhs)
+        ])
+        return GmresResult(
+            x=X,
+            residual=np.asarray(res.residual)[:nrhs],
+            iterations=np.asarray(res.iterations)[:nrhs],
+            restarts=np.asarray(res.restarts)[:nrhs],
+            converged=np.asarray(res.converged)[:nrhs],
         )
 
 

@@ -29,16 +29,21 @@ __all__ = [
 
 def make_preconditioner(name: str, A, **kw):
     """Factory keyed by the reference's CLI/menu names (main2.cu:55-80:
-    NONE/DIAG/ILU0/AINV; plus iluk/milu)."""
+    NONE/DIAG/ILU0/AINV; plus iluk). Extra kwargs not understood by the
+    selected builder are dropped (so callers can pass e.g. fmt='auto'
+    uniformly)."""
+    import inspect
+
     name = (name or "none").lower()
     if name in ("none", ""):
         return None
-    if name in ("diag", "jacobi"):
-        return jacobi(A, **kw)
-    if name == "ilu0":
-        return ilu0(A, **kw)
-    if name == "iluk":
-        return iluk(A, **kw)
-    if name == "ainv":
-        return ainv(A, **kw)
-    raise ValueError(f"unknown preconditioner {name!r}")
+    builders = {
+        "diag": jacobi, "jacobi": jacobi,
+        "ilu0": ilu0, "iluk": iluk, "ainv": ainv,
+    }
+    if name not in builders:
+        raise ValueError(f"unknown preconditioner {name!r}")
+    fn = builders[name]
+    params = inspect.signature(fn).parameters
+    kw = {k: v for k, v in kw.items() if k in params}
+    return fn(A, **kw)

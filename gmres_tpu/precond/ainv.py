@@ -157,20 +157,39 @@ def ainv_factor(A: CSRMatrix, drop_tol: float = 0.1):
 )
 @dataclasses.dataclass(frozen=True)
 class AinvPrecond:
-    """M^{-1} v = Z (inv_d * (W^T v)) — two ELL SpMVs + elementwise scale."""
+    """M^{-1} v = Z (inv_d * (W^T v)) — two SpMVs + elementwise scale.
 
-    Z: EllMatrix
-    Wt: EllMatrix
+    Z/Wt may be any device sparse format (ELL on CPU, WELL/DIA on TPU —
+    padding handled through the operator layer)."""
+
+    Z: object
+    Wt: object
     inv_d: jax.Array
 
     def __call__(self, v: jax.Array) -> jax.Array:
-        return ell_spmv(self.Z, self.inv_d * ell_spmv(self.Wt, v))
+        from gmres_tpu.ops.operator import as_operator
+
+        n = self.inv_d.shape[0]
+        Zop = as_operator(self.Z, logical_shape=(n, n))
+        Wtop = as_operator(self.Wt, logical_shape=(n, n))
+        return Zop(self.inv_d * Wtop(v))
 
 
-def ainv(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32) -> AinvPrecond:
+def ainv(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
+         fmt: str = "ell") -> AinvPrecond:
+    """``fmt``: "ell" (portable; required by the distributed lift) or
+    "auto" (backend-tuned: WELL/DIA on TPU)."""
     Z, Wt, inv_d = ainv_factor(A, drop_tol)
+    if fmt == "auto":
+        from gmres_tpu.ops.spmv import device_matrix
+
+        Zd = device_matrix(Z, dtype=dtype)
+        Wd = device_matrix(Wt, dtype=dtype)
+    else:
+        Zd = Z.to_ell(dtype=dtype)
+        Wd = Wt.to_ell(dtype=dtype)
     return AinvPrecond(
-        Z=Z.to_ell(dtype=dtype),
-        Wt=Wt.to_ell(dtype=dtype),
+        Z=Zd,
+        Wt=Wd,
         inv_d=jnp.asarray(inv_d, dtype=dtype),
     )

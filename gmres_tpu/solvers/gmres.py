@@ -243,6 +243,20 @@ def gmres(
     )
 
 
+def gmres_batched(A, B, X0=None, **kw):
+    """Solve A x_i = b_i for a batch of right-hand sides B (nrhs, n) with one
+    vmapped solver program — the multi-RHS axis the reference fans out over
+    pthreads (etbr_thread.cpp) runs data-parallel on the VPU/MXU here."""
+    B = jnp.asarray(B)
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+
+    def one(b, x0):
+        return gmres(A, b, x0, **kw)
+
+    return jax.vmap(one)(B, jnp.asarray(X0))
+
+
 @dataclasses.dataclass
 class gmres_solver:
     """Reusable solver object bound to one matrix + preconditioner, for time

@@ -75,3 +75,32 @@ def test_dist_matches_single_chip_iterations():
                   tol=1e-8, maxiter=2000)
     assert bool(res_d.converged) and bool(res_1.converged)
     assert abs(int(res_d.iterations) - int(res_1.iterations)) <= 1
+
+
+def test_batched_distributed_solve():
+    A = poisson2d(9)
+    n = A.shape[0]
+    mesh = make_mesh(n_rows=4, n_batch=2)
+    s = DistGmresSolver(A, mesh, precond="jacobi", dtype=jnp.float64,
+                        restart=30, tol=1e-10, maxiter=3000)
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((5, n))  # pads to 6 = multiple of batch axis
+    res = s.solve_batch(B)
+    assert res.x.shape == (5, n)
+    for i in range(5):
+        r = B[i] - A.matvec(res.x[i])
+        assert np.linalg.norm(r) / np.linalg.norm(B[i]) < 1e-8
+
+
+def test_gmres_batched_helper():
+    from gmres_tpu.solvers.gmres import gmres_batched
+
+    A = poisson2d(8)
+    n = A.shape[0]
+    B = np.random.default_rng(6).standard_normal((4, n))
+    res = gmres_batched(A.to_ell(dtype=jnp.float64), jnp.asarray(B),
+                        restart=30, tol=1e-9, maxiter=2000)
+    assert bool(res.converged.all())
+    for i in range(4):
+        r = B[i] - A.matvec(np.asarray(res.x[i]))
+        assert np.linalg.norm(r) / np.linalg.norm(B[i]) < 1e-7
