@@ -91,19 +91,39 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, dtype))
     tol_abs = jnp.asarray(tol, dtype) * bnorm
 
+    # Krylov rows padded to the projection block size so the blocked loops
+    # below use static-shape slices with a *dynamic* trip count: at step j
+    # only ceil((j+1)/B) row blocks of V are read, not all m+1 — early
+    # Arnoldi steps (the common case for warm-started transient solves)
+    # touch a fraction of the basis.
+    BLK = 8
+    m_pad = -(-(m + 1) // BLK) * BLK
+
     def cgs2(V, w, j):
         """Orthogonalize w against rows 0..j of V (classical GS, twice).
-        Returns (w_orth, h) with h the (m+1,) coefficient column."""
-        rowmask = (jnp.arange(m + 1) <= j).astype(dtype)
+        Returns (w_orth, h) with h the (m_pad,) coefficient column."""
+        nb = (j + 1 + BLK - 1) // BLK  # traced trip count
 
-        def proj(w):
-            hw = V @ (w.astype(dot_dtype) if dot_dtype else w)
-            hw = _psum(hw, axis)
-            hw = hw.astype(dtype) * rowmask
-            return w - hw @ V, hw
+        def one_pass(w):
+            w0 = w.astype(dot_dtype) if dot_dtype else w
 
-        w, h1 = proj(w)
-        w, h2 = proj(w)
+            def body(bk, carry):
+                w_acc, h_acc = carry
+                blk = lax.dynamic_slice(V, (bk * BLK, 0), (BLK, n))
+                hb = blk @ w0
+                hb = _psum(hb, axis)
+                rowids = bk * BLK + jnp.arange(BLK)
+                hb = jnp.where(rowids <= j, hb.astype(dtype), 0.0)
+                w_acc = w_acc - hb @ blk
+                h_acc = lax.dynamic_update_slice(h_acc, hb, (bk * BLK,))
+                return (w_acc, h_acc)
+
+            return lax.fori_loop(
+                0, nb, body, (w, jnp.zeros(m_pad, dtype))
+            )
+
+        w, h1 = one_pass(w)
+        w, h2 = one_pass(w)
         return w, h1 + h2
 
     def arnoldi_cycle(x):
@@ -111,7 +131,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         beta = _norm(r, dot_dtype, axis)
         already = beta <= tol_abs
 
-        V0 = jnp.zeros((m + 1, n), dtype)
+        V0 = jnp.zeros((m_pad, n), dtype)
         V0 = V0.at[0].set(jnp.where(beta > eps, r / jnp.where(beta > eps, beta, 1.0), 0.0))
         R0 = jnp.eye(m, dtype=dtype)          # rotated Hessenberg (upper tri)
         g0 = jnp.zeros(m + 1, dtype).at[0].set(beta)
