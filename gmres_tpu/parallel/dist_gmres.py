@@ -60,6 +60,40 @@ class RowShardedOp:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["ell"],
+    meta_fields=["axis", "halo", "ndev"],
+)
+@dataclasses.dataclass(frozen=True)
+class HaloShardedOp:
+    """y_local = A_localrows @ [left_halo | x_local | right_halo].
+
+    RCM keeps each shard's column footprint inside its own rows ± the matrix
+    bandwidth, so only ``halo`` boundary entries move between ring neighbors
+    per SpMV (``ppermute`` over ICI) instead of the whole vector — O(band)
+    communication vs all_gather's O(n). ``ell`` columns are pre-shifted into
+    the extended-window coordinates (host-side inspection)."""
+
+    ell: EllMatrix  # local rows, columns relative to the extended window
+    axis: str
+    halo: int
+    ndev: int
+
+    def __call__(self, x_local: jax.Array) -> jax.Array:
+        H, N = self.halo, self.ndev
+        if H > 0 and N > 1:
+            fwd = [(i, (i + 1) % N) for i in range(N)]
+            bwd = [(i, (i - 1) % N) for i in range(N)]
+            from_left = lax.ppermute(x_local[-H:], self.axis, fwd)
+            from_right = lax.ppermute(x_local[:H], self.axis, bwd)
+            x_ext = jnp.concatenate([from_left, x_local, from_right])
+        else:
+            x_ext = x_local
+        xg = jnp.take(x_ext, self.ell.cols, axis=0)
+        return jnp.sum(self.ell.data * xg, axis=1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["Z", "Wt", "inv_d"],
     meta_fields=[],
 )
@@ -73,6 +107,41 @@ class DistAinvPrecond:
 
     def __call__(self, v: jax.Array) -> jax.Array:
         return self.Z(self.inv_d * self.Wt(v))
+
+
+def build_halo_op(ell: EllMatrix, part: RowPartition, axis: str):
+    """Convert a global-column padded ELL into a HaloShardedOp, or None when
+    some shard's footprint exceeds one neighbor's rows (fallback:
+    all_gather). Host-side inspection, vectorized."""
+    import numpy as np
+
+    data = np.asarray(ell.data)
+    cols = np.asarray(ell.cols).astype(np.int64)
+    n_padded, K = cols.shape
+    rpd = part.rows_per_dev
+    ndev = part.ndev
+    if ndev <= 1:
+        return None
+    shard = (np.arange(n_padded) // rpd)[:, None]
+    real = data != 0
+    rel = cols - shard * rpd  # position relative to shard start
+    lo = np.where(real, -rel, 0).max() if real.any() else 0
+    hi = np.where(real, rel - (rpd - 1), 0).max() if real.any() else 0
+    H = int(max(lo, hi, 0))
+    if H >= rpd:
+        return None
+    local = np.where(real, rel + H, 0)
+    assert local.min() >= 0 and local.max() < rpd + 2 * H or not real.any()
+    return HaloShardedOp(
+        ell=EllMatrix(
+            data=ell.data,
+            cols=jnp.asarray(local.astype(np.int32)),
+            shape=(n_padded, rpd + 2 * H),
+        ),
+        axis=axis,
+        halo=H,
+        ndev=ndev,
+    )
 
 
 def _pad_ell_rows(E: EllMatrix, n_padded: int) -> EllMatrix:
@@ -131,6 +200,7 @@ class DistGmresSolver:
         maxiter: int = 10000,
         dot_dtype=None,
         axis: str = "rows",
+        comm: str = "halo",
     ):
         self.mesh = mesh
         self.axis = axis
@@ -138,7 +208,12 @@ class DistGmresSolver:
         self.tol = tol
         ndev = int(np.prod([mesh.shape[a] for a in (axis,)]))
         self.part, ell, Ap = partition_rows(A, ndev, reorder=reorder, dtype=dtype)
-        self.Aop = RowShardedOp(ell, axis)
+        self.Aop = None
+        if comm == "halo":
+            self.Aop = build_halo_op(ell, self.part, axis)
+        if self.Aop is None:
+            self.Aop = RowShardedOp(ell, axis)
+        self.comm = type(self.Aop).__name__
         if isinstance(precond, str):
             from gmres_tpu.precond import make_preconditioner
 

@@ -104,3 +104,37 @@ def test_gmres_batched_helper():
     for i in range(4):
         r = B[i] - A.matvec(np.asarray(res.x[i]))
         assert np.linalg.norm(r) / np.linalg.norm(B[i]) < 1e-7
+
+
+def test_halo_matches_all_gather():
+    A = poisson2d(12)
+    n = A.shape[0]
+    b = np.random.default_rng(7).standard_normal(n)
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    s_h = DistGmresSolver(A, mesh, precond="jacobi", dtype=jnp.float64,
+                          restart=30, tol=1e-10, maxiter=4000, comm="halo")
+    s_g = DistGmresSolver(A, mesh, precond="jacobi", dtype=jnp.float64,
+                          restart=30, tol=1e-10, maxiter=4000,
+                          comm="all_gather")
+    assert s_h.comm == "HaloShardedOp"
+    assert s_g.comm == "RowShardedOp"
+    r_h = s_h.solve(b)
+    r_g = s_g.solve(b)
+    assert bool(r_h.converged) and bool(r_g.converged)
+    assert int(r_h.iterations) == int(r_g.iterations)
+    assert np.allclose(r_h.x, r_g.x, atol=1e-9)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    assert np.linalg.norm(r_h.x - x_ref) / np.linalg.norm(x_ref) < 1e-7
+
+
+def test_halo_fallback_when_band_too_wide():
+    # random matrix without reordering: footprint spans everything
+    A = random_sparse(64, 0.2, seed=8)
+    mesh = make_mesh(n_rows=8, n_batch=1)
+    s = DistGmresSolver(A, mesh, precond=None, reorder=False,
+                        dtype=jnp.float64, comm="halo", tol=1e-8,
+                        maxiter=2000, restart=30)
+    assert s.comm == "RowShardedOp"  # fell back
+    b = np.random.default_rng(0).standard_normal(64)
+    r = s.solve(b)
+    assert bool(r.converged)
