@@ -68,10 +68,21 @@ def _pick_tile(n_pad: int):
     return None
 
 
+def pallas_enabled() -> bool:
+    """Pallas kernels are routed opt-in (GMRES_TPU_PALLAS=1): the Mosaic
+    remote-compile service on the tunneled dev backend has wedged for hours
+    at a time (MEASUREMENTS.md incidents), and an unattended solver run must
+    degrade to the XLA path rather than hang."""
+    import os
+
+    return os.environ.get("GMRES_TPU_PALLAS", "0") == "1"
+
+
 def dia_pallas_supported(A: DiaMatrix) -> bool:
     n_pad = A.shape[0]
     return (
-        n_pad % _LANES == 0
+        pallas_enabled()
+        and n_pad % _LANES == 0
         and _pick_tile(n_pad) is not None
         and n_pad <= _VMEM_X_LIMIT
         and int(A.data.shape[1]) == n_pad

@@ -266,6 +266,8 @@ from gmres_tpu.ops.spmv import spmv as _spmv_dispatch  # noqa: E402
 
 @_spmv_dispatch.register(WellMatrix)
 def _well_spmv_dispatch(A, x):
-    if jax.default_backend() == "tpu":
+    from gmres_tpu.ops.pallas_spmv import pallas_enabled
+
+    if jax.default_backend() == "tpu" and pallas_enabled():
         return well_spmv(A, x)
     return well_spmv_reference(A, x)
