@@ -53,6 +53,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-o", dest="out", default=None, help="output file basename")
     ap.add_argument("-external", action="store_true",
                     help="UCR_EXTERNAL output format")
+    ap.add_argument("-cd", "-device-info", dest="device_info",
+                    action="store_true",
+                    help="print device/backend info (reference -cd)")
     return ap
 
 
@@ -73,6 +76,11 @@ def main(argv=None) -> int:
     dtype = jnp.float32 if args.single else jnp.float64
     base = args.out or os.path.splitext(args.netlist)[0]
     timers = PhaseTimers()
+
+    if args.device_info:
+        from gmres_tpu.utils.device import device_report
+
+        print(device_report())
 
     with timers.phase("parse"):
         nl = parse_netlist(args.netlist)

@@ -66,7 +66,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.gt_iluk_fetch.argtypes = [ctypes.c_void_p, _i64p, _i32p, _f64p]
         lib.gt_iluk_free.argtypes = [ctypes.c_void_p]
         lib.gt_ainv.argtypes = [ctypes.c_int64, _i64p, _i32p, _f64p,
-                                _i64p, _i32p, _f64p, ctypes.c_double]
+                                _i64p, _i32p, _f64p, ctypes.c_double,
+                                ctypes.c_int64]
         lib.gt_ainv.restype = ctypes.c_void_p
         lib.gt_ainv_znnz.argtypes = [ctypes.c_void_p]
         lib.gt_ainv_znnz.restype = ctypes.c_int64
@@ -127,7 +128,8 @@ def iluk_factor_native(A, fill_level: int) -> Optional[Tuple]:
     return _split_lu(n, op, oi, od)
 
 
-def ainv_factor_native(A, drop_tol: float) -> Optional[Tuple]:
+def ainv_factor_native(A, drop_tol: float,
+                       max_col_nnz: int = 0) -> Optional[Tuple]:
     lib = load_library()
     if lib is None:
         return None
@@ -138,7 +140,7 @@ def ainv_factor_native(A, drop_tol: float) -> Optional[Tuple]:
     At = A.transpose()
     tptr, tidx, tdat = _csr_args(At)  # CSR of A^T == CSC of A
     h = lib.gt_ainv(n, indptr, indices, data, tptr, tidx, tdat,
-                    float(drop_tol))
+                    float(drop_tol), int(max_col_nnz))
     if not h:
         return None
     try:

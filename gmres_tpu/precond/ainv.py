@@ -28,16 +28,18 @@ from gmres_tpu.ops.spmv import ell_spmv
 __all__ = ["AinvPrecond", "ainv", "ainv_factor"]
 
 
-def ainv_factor(A: CSRMatrix, drop_tol: float = 0.1):
+def ainv_factor(A: CSRMatrix, drop_tol: float = 0.1, max_col_nnz: int = 0):
     """Nonsymmetric AINV biconjugation with relative drop tolerance.
 
     Returns (Z, Wt, inv_d): Z and W^T as host CSR, inv_d = 1/diag(D), such
-    that M^{-1} = Z diag(inv_d) W^T approximates A^{-1}.
+    that M^{-1} = Z diag(inv_d) W^T approximates A^{-1}. ``max_col_nnz``
+    bounds per-column fill (native path only): keeps the largest entries so
+    setup stays O(n * cap * band) on big grids.
     """
     try:
         from gmres_tpu.native import ainv_factor_native
 
-        out = ainv_factor_native(A, drop_tol)
+        out = ainv_factor_native(A, drop_tol, max_col_nnz)
         if out is not None:
             return out
     except ImportError:
@@ -176,10 +178,10 @@ class AinvPrecond:
 
 
 def ainv(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
-         fmt: str = "ell") -> AinvPrecond:
+         fmt: str = "ell", max_col_nnz: int = 0) -> AinvPrecond:
     """``fmt``: "ell" (portable; required by the distributed lift) or
     "auto" (backend-tuned: WELL/DIA on TPU)."""
-    Z, Wt, inv_d = ainv_factor(A, drop_tol)
+    Z, Wt, inv_d = ainv_factor(A, drop_tol, max_col_nnz)
     if fmt == "auto":
         from gmres_tpu.ops.spmv import device_matrix
 

@@ -176,7 +176,8 @@ inline double dot_sparse(const std::vector<std::pair<int32_t, double>>& a,
 
 void* gt_ainv(int64_t n, const int64_t* indptrR, const int32_t* indicesR,
               const double* dataR, const int64_t* indptrC,
-              const int32_t* indicesC, const double* dataC, double droptol) {
+              const int32_t* indicesC, const double* dataC, double droptol,
+              int64_t max_col_nnz) {
   Cols Z(n), W(n);
   auto* res = new AinvResult();
   res->n = n;
@@ -254,6 +255,34 @@ void* gt_ainv(int64_t n, const int64_t* indptrR, const int32_t* indicesR,
         }
       }
       sj.swap(out);
+      // bounded fill: keep only the max_col_nnz largest-|v| entries (the
+      // diagonal always survives); keeps setup cost O(n * cap * band)
+      if (max_col_nnz > 0 && (int64_t)sj.size() > max_col_nnz) {
+        std::vector<std::pair<double, size_t>> mag;
+        mag.reserve(sj.size());
+        for (size_t t = 0; t < sj.size(); ++t)
+          if (sj[t].first != j) mag.push_back({std::fabs(sj[t].second), t});
+        int64_t nkeep = max_col_nnz - 1;  // slot for the diagonal
+        if ((int64_t)mag.size() > nkeep) {
+          std::nth_element(
+              mag.begin(), mag.begin() + nkeep, mag.end(),
+              [](auto& a, auto& b) { return a.first > b.first; });
+          std::vector<char> kill(sj.size(), 0);
+          for (size_t t = nkeep; t < mag.size(); ++t) kill[mag[t].second] = 1;
+          std::vector<std::pair<int32_t, double>> pruned;
+          pruned.reserve(max_col_nnz);
+          for (size_t t = 0; t < sj.size(); ++t) {
+            if (!kill[t]) {
+              pruned.push_back(sj[t]);
+            } else {
+              auto& vec = S.inv[sj[t].first];
+              for (size_t u = 0; u < vec.size(); ++u)
+                if (vec[u] == j) { vec[u] = vec.back(); vec.pop_back(); break; }
+            }
+          }
+          sj.swap(pruned);
+        }
+      }
     }
     return pi;
   };
