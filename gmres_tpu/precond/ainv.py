@@ -14,6 +14,7 @@ the most robust of its preconditioners).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -28,14 +29,25 @@ from gmres_tpu.ops.spmv import ell_spmv
 __all__ = ["AinvPrecond", "ainv", "ainv_factor"]
 
 
-def ainv_factor(A: CSRMatrix, drop_tol: float = 0.1, max_col_nnz: int = 0):
+def ainv_factor(A: CSRMatrix, drop_tol: float = 0.1, max_col_nnz: int = 0,
+                block_size: int = 0):
     """Nonsymmetric AINV biconjugation with relative drop tolerance.
 
     Returns (Z, Wt, inv_d): Z and W^T as host CSR, inv_d = 1/diag(D), such
     that M^{-1} = Z diag(inv_d) W^T approximates A^{-1}. ``max_col_nnz``
     bounds per-column fill (native path only): keeps the largest entries so
     setup stays O(n * cap * band) on big grids.
+
+    ``block_size > 0`` switches to **block-Jacobi AINV**: contiguous
+    diagonal blocks are biconjugated independently (in parallel threads —
+    the ctypes call releases the GIL) and assembled block-diagonally.
+    Biconjugation cost grows superlinearly with n, so blocking cuts setup
+    by orders of magnitude at ~1M rows for a modest iteration-count hit;
+    callers should RCM/band-order A first so coupling is local.
     """
+    n = A.shape[0]
+    if block_size and 0 < block_size < n:
+        return _ainv_factor_blocked(A, drop_tol, max_col_nnz, block_size)
     try:
         from gmres_tpu.native import ainv_factor_native
 
@@ -152,6 +164,32 @@ def ainv_factor(A: CSRMatrix, drop_tol: float = 0.1, max_col_nnz: int = 0):
     return Z, Wt, 1.0 / d
 
 
+def _ainv_factor_blocked(A: CSRMatrix, drop_tol: float, max_col_nnz: int,
+                         block_size: int):
+    """Block-Jacobi AINV: independent biconjugation per diagonal block."""
+    import scipy.sparse as sp
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = A.shape[0]
+    Asp = A.to_scipy().tocsr()
+    starts = list(range(0, n, block_size))
+    bounds = [(s, min(s + block_size, n)) for s in starts]
+
+    def factor_block(se):
+        s, e = se
+        Ab = CSRMatrix.from_scipy(Asp[s:e, s:e].tocsr())
+        return ainv_factor(Ab, drop_tol, max_col_nnz)
+
+    workers = min(len(bounds), os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        parts = list(pool.map(factor_block, bounds))
+
+    Z = sp.block_diag([p[0].to_scipy() for p in parts], format="csr")
+    Wt = sp.block_diag([p[1].to_scipy() for p in parts], format="csr")
+    inv_d = np.concatenate([p[2] for p in parts])
+    return CSRMatrix.from_scipy(Z), CSRMatrix.from_scipy(Wt), inv_d
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["Z", "Wt", "inv_d"],
@@ -178,10 +216,18 @@ class AinvPrecond:
 
 
 def ainv(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
-         fmt: str = "ell", max_col_nnz: int = 0) -> AinvPrecond:
+         fmt: str = "ell", max_col_nnz: int = 0,
+         block_size: Optional[int] = None) -> AinvPrecond:
     """``fmt``: "ell" (portable; required by the distributed lift) or
-    "auto" (backend-tuned: WELL/DIA on TPU)."""
-    Z, Wt, inv_d = ainv_factor(A, drop_tol, max_col_nnz)
+    "auto" (backend-tuned: WELL/DIA on TPU).
+
+    ``block_size``: None = auto (global AINV below 128K rows, block-Jacobi
+    AINV with 64K blocks above — setup time, see ainv_factor); 0 = always
+    global; >0 = explicit block size.
+    """
+    if block_size is None:
+        block_size = 0 if A.shape[0] <= 131072 else 65536
+    Z, Wt, inv_d = ainv_factor(A, drop_tol, max_col_nnz, block_size)
     if fmt == "auto":
         from gmres_tpu.ops.spmv import device_matrix
 

@@ -107,6 +107,24 @@ def test_ainv_factor_quality():
     assert err < 1e-10
 
 
+def test_ainv_blocked_quality():
+    # Block-Jacobi AINV (independent per-block biconjugation) must still be
+    # an effective preconditioner: fewer iterations than unpreconditioned,
+    # within ~2x the iteration count of global AINV on a banded problem.
+    A = poisson2d(16)  # 256 rows, bandwidth 16
+    it_plain = _iters(A)
+    M_global = ainv(A, drop_tol=0.05, dtype=jnp.float64, block_size=0)
+    M_block = ainv(A, drop_tol=0.05, dtype=jnp.float64, block_size=64)
+    it_g = _iters(A, M_global)
+    it_b = _iters(A, M_block)
+    assert it_b < it_plain
+    assert it_b <= 2 * it_g
+    # blocked factors are block-diagonal: no entry couples across a block edge
+    Z, Wt, inv_d = ainv_factor(A, drop_tol=0.05, block_size=64)
+    Zs = Z.to_scipy().tocoo()
+    assert np.all((Zs.row // 64) == (Zs.col // 64))
+
+
 def test_make_preconditioner_factory():
     A = poisson2d(6)
     assert make_preconditioner("none", A) is None
