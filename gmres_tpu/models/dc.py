@@ -25,7 +25,7 @@ def dc_solve(
     method: str = "direct",
     precond: str = "ainv",
     dtype=jnp.float64,
-    tol: float = 1e-10,
+    tol: float = 1e-8,
     restart: int = 50,
     maxiter: int = 20000,
 ) -> np.ndarray:
@@ -35,16 +35,25 @@ def dc_solve(
         return SparseLU(mna.G).solve(rhs)
     if method == "gmres":
         from gmres_tpu.ops.spmv import device_operator
+        from gmres_tpu.precond.milu import SystemTransform, should_transform
 
-        M = make_preconditioner(precond, mna.G, dtype=dtype, fmt="auto")
+        G, b = mna.G, rhs
+        tr = None
+        if should_transform(G):
+            # equilibrate + reorder: MNA branch rows have zero diagonals
+            # that stall unpivoted preconditioners (see SystemTransform)
+            tr = SystemTransform.build(G)
+            G, b = tr.mat(G), tr.rhs_to(b)
+        M = make_preconditioner(precond, G, dtype=dtype, fmt="auto")
         res = gmres(
-            device_operator(mna.G, dtype=dtype),
-            jnp.asarray(rhs, dtype=dtype),
+            device_operator(G, dtype=dtype),
+            jnp.asarray(b, dtype=dtype),
             restart=restart, tol=tol, maxiter=maxiter, M_left=M,
         )
         if not bool(res.converged):
             raise RuntimeError(
                 f"DC GMRES failed to converge: residual={float(res.residual)}"
             )
-        return np.asarray(res.x, dtype=np.float64)
+        x = np.asarray(res.x, dtype=np.float64)
+        return tr.vec_from(x) if tr is not None else x
     raise ValueError(f"unknown dc method {method!r}")

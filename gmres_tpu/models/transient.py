@@ -83,30 +83,53 @@ def transient_gmres(
     restart: int = 32,
     maxiter: int = 10000,
     dc_method: str = "direct",
+    transform: str = "auto",
 ) -> PgTransientResult:
     """Device transient: per-step tolerance 1e-7 to match the PG tool
-    (gmres_interface_pg.cu:7)."""
-    from gmres_tpu.models.dc import dc_solve
+    (gmres_interface_pg.cu:7).
 
+    ``transform``: "auto" applies Ruiz equilibration + RCM reordering to the
+    whole system (the split-ILU++ similarity, precond/milu.py
+    SystemTransform) when the matrix has zero diagonal entries (MNA V-source
+    branch rows — unpivoted preconditioners stall on them) or misses the DIA
+    fast path; "always"/"none" force it. The backward-Euler recurrence is
+    preserved in transformed space, so the scan runs there and only port
+    values are mapped back.
+    """
+    from gmres_tpu.models.dc import dc_solve
     from gmres_tpu.ops.spmv import device_operator
+    from gmres_tpu.precond.milu import SystemTransform, should_transform
 
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
     x = dc_solve(mna, method=dc_method) if x0 is None else np.asarray(x0)
     dc = x.copy()
-    M = make_preconditioner(precond, A, dtype=dtype, fmt="auto")
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
+
+    tr = None
+    if transform == "always" or (transform == "auto" and should_transform(A)):
+        tr = SystemTransform.build(A)
+        A_t, Ch_t, B_t = tr.mat(A), tr.mat(Ch), tr.rows(mna.B)
+        x_t = tr.vec_to(x)
+        ports_t = tr.port_gather(ports)
+    else:
+        A_t, Ch_t, B_t, x_t, ports_t = A, Ch, mna.B, x, ports
+
+    M = make_preconditioner(precond, A_t, dtype=dtype, fmt="auto")
     res = thermal_transient(
-        device_operator(A, dtype=dtype),
-        device_operator(mna.B, dtype=dtype),
-        device_operator(Ch, dtype=dtype),
+        device_operator(A_t, dtype=dtype),
+        device_operator(B_t, dtype=dtype),
+        device_operator(Ch_t, dtype=dtype),
         U,
-        x0=jnp.asarray(x, dtype=dtype),
+        x0=jnp.asarray(x_t, dtype=dtype),
         restart=restart, tol=tol, maxiter=maxiter, M_left=M, dtype=dtype,
-        ports=jnp.asarray(ports, dtype=jnp.int32),
+        ports=jnp.asarray(ports_t, dtype=jnp.int32),
     )
+    port_values = np.asarray(res.X, dtype=np.float64)
+    if tr is not None:
+        port_values = port_values * tr.port_scale(ports)[None, :]
     return PgTransientResult(
         times=times,
-        port_values=np.asarray(res.X, dtype=np.float64),
+        port_values=port_values,
         dc=dc,
         stats={
             "iterations": np.asarray(res.iterations),

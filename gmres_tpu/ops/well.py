@@ -11,17 +11,24 @@ column blocks staged in fast memory; executor SpMV_kernel.cu:624-1114):
 
 - rows are tiled 128 per tile (the lane dimension);
 - each tile's nonzeros are grouped by 128-aligned *column windows* — a
-  window is one 128-lane row of the VMEM-resident x vector;
-- each (tile, window) group is split into *chunks* of 8 slots x 128 rows:
-  ``vals[s, r]`` multiplies ``x[window*128 + lcols[s, r]]`` and accumulates
-  into ``y[tile*128 + r]``;
+  window is one 128-lane row of the VMEM-resident x vector. A (tile,
+  window, lane) cell holding k entries needs k *slot-rows* for that
+  window;
+- slot-rows of a tile — **from any of its windows** — pack 8 per *chunk*
+  (one (8, 128) vreg). Each sublane s of a chunk carries its own window
+  index ``widx[c, s]``: ``vals[s, r]`` multiplies
+  ``x[widx[c, s]*128 + lcols[s, r]]`` and all 8 sublanes accumulate into
+  ``y[tile*128 + r]``. Packing across windows is what keeps slot
+  utilization high on banded/irregular matrices: the old per-(tile,window)
+  chunking padded every window group to a multiple of 8 slot-rows, which
+  collapsed to 3-18% utilization on RCM-banded PG matrices;
 - chunks are batched ``chunks_per_step`` per grid step over a contiguous
   band of ``tiles_per_step`` output tiles.
 
-Per chunk the kernel does: one dynamic sublane read (the window), one
-lane-gather, one FMA reduction over 8 slots, one accumulate into the output
-block. Memory cost ~8 B/slot with slot utilization = nnz / (128 * 8 *
-ceil(K_w/8)) per group.
+Per chunk the kernel does: 8 dynamic sublane reads (the per-sublane
+windows), one lane-gather, one FMA reduction over 8 slot-rows, one
+accumulate into the output block. Memory cost ~8 B/slot with slot
+utilization = nnz / (128 * 8 * chunks).
 """
 
 from __future__ import annotations
@@ -54,7 +61,8 @@ _SLOTS = 8
 @dataclasses.dataclass(frozen=True)
 class WellMatrix:
     """Chunked windowed-ELL. Shapes:
-    vals/lcols: (steps, M, 8, 128); widx/lrow/valid: (steps*M,) int32."""
+    vals/lcols: (steps, M, 8, 128); widx: (steps*M, 8) int32 (per-sublane
+    window); lrow/valid: (steps*M,) int32."""
 
     vals: jax.Array
     lcols: jax.Array
@@ -95,79 +103,94 @@ def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMa
     window = cols // _LANES
     lcol = (cols % _LANES).astype(np.int32)
 
-    # group key: (tile, window, lane); slot = running index within key
+    nnz = len(vals)
+    if nnz == 0:
+        M = 1
+        V = np.zeros((steps, M, _SLOTS, _LANES))
+        Cl = np.zeros((steps, M, _SLOTS, _LANES), dtype=np.int32)
+        Wi = np.zeros((steps * M, _SLOTS), dtype=np.int32)
+        Lr = np.zeros(steps * M, dtype=np.int32)
+        Va = np.zeros(steps * M, dtype=np.int32)
+        return WellMatrix(
+            vals=jnp.asarray(V, dtype=dtype), lcols=jnp.asarray(Cl),
+            widx=jnp.asarray(Wi), lrow=jnp.asarray(Lr), valid=jnp.asarray(Va),
+            shape=(ntiles_pad * _LANES, ncols_pad), logical_n=n,
+            tiles_per_step=tiles_per_step, chunks_per_step=M,
+        )
+
+    # sort by (tile, window, lane); slot = running index within that key
     order = np.lexsort((lane, window, tile))
     t_s, w_s, l_s = tile[order], window[order], lane[order]
     v_s, c_s = vals[order], lcol[order]
-    key_change = np.ones(len(order), dtype=bool)
-    if len(order) > 1:
-        key_change[1:] = (t_s[1:] != t_s[:-1]) | (w_s[1:] != w_s[:-1]) | (
-            l_s[1:] != l_s[:-1]
-        )
-    # slot index within (tile, window, lane)
-    idx = np.arange(len(order))
+    idx = np.arange(nnz)
+    key_change = np.ones(nnz, dtype=bool)
+    key_change[1:] = (t_s[1:] != t_s[:-1]) | (w_s[1:] != w_s[:-1]) | (
+        l_s[1:] != l_s[:-1]
+    )
     start_of_key = np.maximum.accumulate(np.where(key_change, idx, 0))
-    slot = idx - start_of_key
+    slot = idx - start_of_key  # within (tile, window, lane)
 
-    # group = (tile, window); chunks per group = ceil(max_slot/8)
-    grp_change = np.ones(len(order), dtype=bool)
-    if len(order) > 1:
-        grp_change[1:] = (t_s[1:] != t_s[:-1]) | (w_s[1:] != w_s[:-1])
+    # groups = (tile, window); slot-rows per group = max slot + 1
+    grp_change = np.ones(nnz, dtype=bool)
+    grp_change[1:] = (t_s[1:] != t_s[:-1]) | (w_s[1:] != w_s[:-1])
     grp_id = np.cumsum(grp_change) - 1
-    ngroups = grp_id[-1] + 1 if len(order) else 0
-    chunk_in_grp = slot // _SLOTS
-    if len(order):
-        nchunks_per_grp = np.zeros(ngroups, dtype=np.int64)
-        np.maximum.at(nchunks_per_grp, grp_id, chunk_in_grp + 1)
-        grp_tile = t_s[grp_change]
-        grp_wind = w_s[grp_change]
-    else:
-        nchunks_per_grp = np.zeros(0, dtype=np.int64)
-        grp_tile = np.zeros(0, dtype=np.int64)
-        grp_wind = np.zeros(0, dtype=np.int64)
+    ngroups = int(grp_id[-1]) + 1
+    rows_per_grp = np.zeros(ngroups, dtype=np.int64)
+    np.maximum.at(rows_per_grp, grp_id, slot + 1)
+    grp_tile = t_s[grp_change]
+    grp_wind = w_s[grp_change]
 
-    # global chunk table, grouped by step (= tile // tiles_per_step)
-    grp_step = grp_tile // tiles_per_step
-    # chunks inherit their group's step; count chunks per step
-    chunks_step = np.repeat(grp_step, nchunks_per_grp)
-    chunks_tile = np.repeat(grp_tile, nchunks_per_grp)
-    chunks_wind = np.repeat(grp_wind, nchunks_per_grp)
-    total_chunks = len(chunks_step)
-    M = int(np.bincount(chunks_step, minlength=steps).max()) if total_chunks else 1
-    M = max(M, 1)
+    # global slot-row enumeration (groups expanded), ordered by tile
+    grp_sr_base = np.cumsum(rows_per_grp) - rows_per_grp  # global slot-row id
+    total_sr = int(rows_per_grp.sum())
+    sr_grp = np.repeat(np.arange(ngroups), rows_per_grp)
+    sr_tile = grp_tile[sr_grp]
+    sr_wind = grp_wind[sr_grp]
 
-    # position of each chunk within its step
-    order_c = np.argsort(chunks_step, kind="stable")
-    pos_in_step = np.empty(total_chunks, dtype=np.int64)
-    if total_chunks:
-        cs = chunks_step[order_c]
-        first = np.ones(total_chunks, dtype=bool)
-        first[1:] = cs[1:] != cs[:-1]
-        idxc = np.arange(total_chunks)
-        start = np.maximum.accumulate(np.where(first, idxc, 0))
-        pos_in_step[order_c] = idxc - start
+    # slot-row index within its tile -> (chunk_in_tile, sublane)
+    sr_idx = np.arange(total_sr)
+    tile_change = np.ones(total_sr, dtype=bool)
+    tile_change[1:] = sr_tile[1:] != sr_tile[:-1]
+    sr_tile_start = np.maximum.accumulate(np.where(tile_change, sr_idx, 0))
+    sr_in_tile = sr_idx - sr_tile_start
+    sr_chunk_in_tile = sr_in_tile // _SLOTS
+    sr_sub = (sr_in_tile % _SLOTS).astype(np.int32)
 
-    # chunk slot arrays
+    # chunks per tile; chunk position within its step
+    chunks_per_tile = np.zeros(ntiles_pad, dtype=np.int64)
+    np.maximum.at(chunks_per_tile, sr_tile, sr_chunk_in_tile + 1)
+    tile_step = np.arange(ntiles_pad) // tiles_per_step
+    # exclusive cumsum of chunks_per_tile, reset at each step boundary
+    csum = np.cumsum(chunks_per_tile) - chunks_per_tile
+    step_base = np.zeros(steps, dtype=np.int64)
+    first_tile = np.arange(0, ntiles_pad, tiles_per_step)
+    step_base = csum[first_tile]
+    tile_chunk_base = csum - step_base[tile_step]  # chunk offset within step
+    chunks_in_step = np.add.reduceat(chunks_per_tile, first_tile)
+    M = max(int(chunks_in_step.max()), 1)
+
+    # flat chunk id for each slot-row
+    sr_step = sr_tile // tiles_per_step
+    sr_flat = sr_step * M + tile_chunk_base[sr_tile] + sr_chunk_in_tile
+
     V = np.zeros((steps, M, _SLOTS, _LANES))
     Cl = np.zeros((steps, M, _SLOTS, _LANES), dtype=np.int32)
-    Wi = np.zeros(steps * M, dtype=np.int32)
+    Wi = np.zeros((steps * M, _SLOTS), dtype=np.int32)
     Lr = np.zeros(steps * M, dtype=np.int32)
     Va = np.zeros(steps * M, dtype=np.int32)
 
-    # chunk index per group start (for mapping nnz -> global chunk id)
-    grp_chunk_base = np.concatenate([[0], np.cumsum(nchunks_per_grp)])[:-1] \
-        if ngroups else np.zeros(0, dtype=np.int64)
-    if total_chunks:
-        nnz_chunk = grp_chunk_base[grp_id] + chunk_in_grp  # global chunk id
-        st = chunks_step[nnz_chunk]
-        flat = st * M + pos_in_step[nnz_chunk]
-        srow = slot % _SLOTS
-        V[st, pos_in_step[nnz_chunk], srow, l_s] = v_s
-        Cl[st, pos_in_step[nnz_chunk], srow, l_s] = c_s
-        cflat = chunks_step * M + pos_in_step
-        Wi[cflat] = chunks_wind.astype(np.int32)
-        Lr[cflat] = (chunks_tile % tiles_per_step).astype(np.int32)
-        Va[cflat] = 1
+    Wi[sr_flat, sr_sub] = sr_wind.astype(np.int32)
+    Lr[sr_flat] = (sr_tile % tiles_per_step).astype(np.int32)
+    Va[sr_flat] = 1
+
+    # map each nnz to (flat chunk, sublane, lane)
+    nnz_sr = grp_sr_base[grp_id] + slot          # global slot-row id
+    nnz_flat = sr_flat[nnz_sr]
+    nnz_sub = sr_sub[nnz_sr]
+    st = nnz_flat // M
+    po = nnz_flat % M
+    V[st, po, nnz_sub, l_s] = v_s
+    Cl[st, po, nnz_sub, l_s] = c_s
 
     return WellMatrix(
         vals=jnp.asarray(V, dtype=dtype),
@@ -190,9 +213,13 @@ def _well_kernel(M, tiles_per_step, wi_ref, lr_ref, va_ref, x_ref, vals_ref,
     def body(j, carry):
         @pl.when(va_ref[i * M + j] != 0)
         def _():
-            win = x_ref[wi_ref[i * M + j], :]              # (128,)
-            winb = jnp.broadcast_to(win[None, :], (_SLOTS, _LANES))
-            g = jnp.take_along_axis(winb, cols_ref[0, j], axis=1)
+            # per-sublane windows: 8 dynamic sublane reads -> (8, 128)
+            win8 = jnp.concatenate(
+                [x_ref[wi_ref[(i * M + j) * _SLOTS + s], :][None, :]
+                 for s in range(_SLOTS)],
+                axis=0,
+            )
+            g = jnp.take_along_axis(win8, cols_ref[0, j], axis=1)
             contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
             lr = lr_ref[i * M + j]
             out_ref[pl.ds(lr, 1), :] += contrib
@@ -235,7 +262,7 @@ def well_spmv(A: WellMatrix, x: jax.Array, interpret: bool = False) -> jax.Array
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles_pad, _LANES), x.dtype),
         interpret=interpret,
-    )(A.widx, A.lrow, A.valid, x2d, A.vals, A.lcols)
+    )(A.widx.reshape(-1), A.lrow, A.valid, x2d, A.vals, A.lcols)
     return out.reshape(ntiles_pad * _LANES)
 
 
@@ -244,11 +271,9 @@ def well_spmv_reference(A: WellMatrix, x: jax.Array) -> jax.Array:
     x2d = x.reshape(A.shape[1] // _LANES, _LANES)
     steps, M = A.steps, A.chunks_per_step
     tps = A.tiles_per_step
-    win = jnp.take(x2d, A.widx.reshape(steps, M), axis=0)   # (steps, M, 128)
-    winb = win[:, :, None, :]                               # (steps, M, 1, 128)
-    g = jnp.take_along_axis(
-        jnp.broadcast_to(winb, A.lcols.shape), A.lcols, axis=3
-    )
+    # per-sublane windows: (steps, M, 8, 128)
+    win = jnp.take(x2d, A.widx.reshape(steps, M, _SLOTS), axis=0)
+    g = jnp.take_along_axis(win, A.lcols, axis=3)
     contrib = jnp.sum(A.vals * g, axis=2)                   # (steps, M, 128)
     contrib = contrib * A.valid.reshape(steps, M, 1).astype(contrib.dtype)
     out = jnp.zeros((steps * tps, _LANES), dtype=x.dtype)
@@ -264,10 +289,18 @@ def well_spmv_reference(A: WellMatrix, x: jax.Array) -> jax.Array:
 from gmres_tpu.ops.spmv import spmv as _spmv_dispatch  # noqa: E402
 
 
+def _well_pallas_enabled() -> bool:
+    """WELL routes to the Pallas kernel by default on TPU (opt-OUT with
+    GMRES_TPU_PALLAS=0), unlike DIA where the XLA path is competitive:
+    XLA's gather fallback is ~23x slower here, slow enough that large GMRES
+    programs outlive the device watchdog."""
+    import os
+
+    return os.environ.get("GMRES_TPU_PALLAS", "1") != "0"
+
+
 @_spmv_dispatch.register(WellMatrix)
 def _well_spmv_dispatch(A, x):
-    from gmres_tpu.ops.pallas_spmv import pallas_enabled
-
-    if jax.default_backend() == "tpu" and pallas_enabled():
+    if jax.default_backend() == "tpu" and _well_pallas_enabled():
         return well_spmv(A, x)
     return well_spmv_reference(A, x)

@@ -31,7 +31,8 @@ from gmres_tpu.ops.reorder import rcm_ordering
 from gmres_tpu.precond.ilu import iluk_factor, _build as _build_ilu
 from gmres_tpu.solvers.gmres import GmresResult, gmres
 
-__all__ = ["ruiz_equilibrate", "MiluSolver"]
+__all__ = ["ruiz_equilibrate", "MiluSolver", "SystemTransform",
+           "should_transform"]
 
 
 def ruiz_equilibrate(A: CSRMatrix, iters: int = 4):
@@ -57,6 +58,89 @@ def ruiz_equilibrate(A: CSRMatrix, iters: int = 4):
 
 
 @dataclasses.dataclass
+class SystemTransform:
+    """Ruiz equilibration + RCM reordering of a whole linear system.
+
+    The similarity form the split-ILU++ hooks implement
+    (preconditioner.h:47-84): with z = P (x / dc),
+
+        (P Dr A Dc P^T) z = P Dr b,    x = Dc P^T z.
+
+    Transforming A, B, C/h *once* keeps the backward-Euler recurrence
+    A x = B u + (C/h) x_prev structurally identical in z-space, so the
+    whole transient scan runs on the transformed system and only port
+    values are mapped back. Equilibration rescues preconditioners that
+    choke on MNA saddle-point rows (V-source branch rows have zero
+    diagonals: AINV stalls at ~1e-5 untransformed, converges to 1e-7
+    transformed), and RCM clusters the column footprint for the WELL
+    SpMV windows."""
+
+    dr: np.ndarray
+    dc: np.ndarray
+    perm: np.ndarray
+    inv_perm: np.ndarray
+
+    @classmethod
+    def build(cls, A: CSRMatrix, ruiz_iters: int = 4,
+              reorder: bool = True) -> "SystemTransform":
+        n = A.shape[0]
+        dr, dc = ruiz_equilibrate(A, ruiz_iters)
+        if reorder:
+            S = A.to_scipy().astype(np.float64)
+            S = S.multiply(dr[:, None]).tocsr().multiply(dc[None, :]).tocsr()
+            perm = rcm_ordering(CSRMatrix.from_scipy(S))
+        else:
+            perm = np.arange(n)
+        inv_perm = np.empty(n, dtype=np.int64)
+        inv_perm[perm] = np.arange(n)
+        return cls(dr=dr, dc=dc, perm=perm, inv_perm=inv_perm)
+
+    def mat(self, M: CSRMatrix) -> CSRMatrix:
+        """P Dr M Dc P^T — for A and C/h (anything multiplying x)."""
+        S = M.to_scipy().astype(np.float64)
+        S = S.multiply(self.dr[:, None]).tocsr().multiply(self.dc[None, :])
+        return CSRMatrix.from_scipy(S.tocsr()[self.perm][:, self.perm].tocsr())
+
+    def rows(self, B: CSRMatrix) -> CSRMatrix:
+        """P Dr B — for source-incidence operators (u is untouched)."""
+        S = B.to_scipy().astype(np.float64).multiply(self.dr[:, None])
+        return CSRMatrix.from_scipy(S.tocsr()[self.perm].tocsr())
+
+    def vec_to(self, x) -> np.ndarray:
+        """x -> z = P (x / dc)."""
+        return (np.asarray(x, np.float64) / self.dc)[self.perm]
+
+    def vec_from(self, z) -> np.ndarray:
+        """z -> x = Dc P^T z."""
+        return self.dc * np.asarray(z, np.float64)[self.inv_perm]
+
+    def rhs_to(self, b) -> np.ndarray:
+        """b -> P Dr b."""
+        return (self.dr * np.asarray(b, np.float64))[self.perm]
+
+    def port_gather(self, ports: np.ndarray) -> np.ndarray:
+        """Indices into z that correspond to x[ports]..."""
+        return self.inv_perm[np.asarray(ports)]
+
+    def port_scale(self, ports: np.ndarray) -> np.ndarray:
+        """...and the scale to recover x[ports] = port_scale * z[gather]."""
+        return self.dc[np.asarray(ports)]
+
+
+def should_transform(A: CSRMatrix, max_diags: int = 96) -> bool:
+    """Transform when the matrix would miss the DIA fast path anyway
+    (diagonal count above the routing threshold) or has structurally zero
+    diagonal entries (MNA branch rows) that break unpivoted factorizations.
+    Well-scaled stencil systems (thermal) return False and keep their DIA
+    layout untouched."""
+    if np.any(A.diagonal() == 0.0):
+        return True
+    rows = np.repeat(np.arange(A.shape[0]), A.row_lengths())
+    ndiags = np.unique(A.indices.astype(np.int64) - rows).size
+    return ndiags > max_diags
+
+
+@dataclasses.dataclass
 class MiluSolver:
     """Reusable transformed-system solver (gmresInterfacePG role,
     gmres_interface_pg.h:5-73): factor once, solve many RHS on device."""
@@ -72,38 +156,38 @@ class MiluSolver:
     trisolve: str = "levels"
 
     def __post_init__(self):
+        from gmres_tpu.ops.spmv import device_matrix
+
         A = self.A
-        n = A.shape[0]
-        self.dr, self.dc = ruiz_equilibrate(A, self.ruiz_iters)
-        S = A.to_scipy().astype(np.float64)
-        S = S.multiply(self.dr[:, None]).tocsr().multiply(self.dc[None, :]).tocsr()
-        Aeq = CSRMatrix.from_scipy(S.tocsr())
-        self.perm = rcm_ordering(Aeq) if self.reorder else np.arange(n)
-        App = Aeq.permute(self.perm)
+        self.tr = SystemTransform.build(A, self.ruiz_iters, self.reorder)
+        App = self.tr.mat(A)
         L, U = iluk_factor(App, self.fill_level)
         self.M = _build_ilu(L, U, self.dtype, self.trisolve, sweeps=8)
-        self.A_dev = App.to_ell(dtype=self.dtype)
-        self._inv_perm = np.empty(n, dtype=np.int64)
-        self._inv_perm[self.perm] = np.arange(n)
+        self.A_dev = device_matrix(App, dtype=self.dtype)
+        self._logical_n = A.shape[0]
 
     # --- split hooks (preconditioner.h:47-84 naming) --------------------
 
     def transform_rhs(self, b: np.ndarray) -> np.ndarray:
-        return (self.dr * np.asarray(b, np.float64))[self.perm]
+        return self.tr.rhs_to(b)
 
     def untransform_solution(self, z: np.ndarray) -> np.ndarray:
-        return self.dc * np.asarray(z, np.float64)[self._inv_perm]
+        return self.tr.vec_from(z)
 
     def initial_guess(self, x0: np.ndarray) -> np.ndarray:
-        return (np.asarray(x0, np.float64) / self.dc)[self.perm]
+        return self.tr.vec_to(x0)
 
     # --------------------------------------------------------------------
 
     def solve(self, b, x0: Optional[np.ndarray] = None) -> GmresResult:
+        from gmres_tpu.ops.operator import as_operator
+
         bt = jnp.asarray(self.transform_rhs(b), dtype=self.dtype)
         z0 = (jnp.asarray(self.initial_guess(x0), dtype=self.dtype)
               if x0 is not None else None)
-        res = gmres(self.A_dev, bt, z0, restart=self.restart, tol=self.tol,
+        n = self._logical_n
+        Aop = as_operator(self.A_dev, logical_shape=(n, n))
+        res = gmres(Aop, bt, z0, restart=self.restart, tol=self.tol,
                     maxiter=self.maxiter, M_left=self.M)
         x = self.untransform_solution(np.asarray(res.x, np.float64))
         return GmresResult(x=x, residual=res.residual,

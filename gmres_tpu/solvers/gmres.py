@@ -181,30 +181,39 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
         y = jnp.where(colmask, y, 0.0)
         dx = M_right(y @ V[:m])
-        return x + dx, res, j
+        return x + dx, res, j, beta
 
     max_cycles = min(-(-maxiter // max(restart, 1)) + 1, 8192)
+    # Stall guard: when the true residual at the start of a cycle makes
+    # essentially no progress on the previous cycle's (< 0.1% reduction),
+    # twice in a row, the solve has hit its precision floor (e.g. tol below
+    # the f32-achievable residual) — stop instead of burning to maxiter.
+    # converged stays False. The threshold must stay close to 1: slow tail
+    # convergence at a few percent per cycle is still convergence.
+    stall_factor = jnp.asarray(0.999, dtype)
 
     def outer_cond(st):
-        x, res, iters, cycles, done, hist = st
+        x, res, iters, cycles, done, stall, prev, hist = st
         return (~done) & (iters < maxiter)
 
     def outer_body(st):
-        x, res, iters, cycles, done, hist = st
-        x, res, j = arnoldi_cycle(x)
+        x, res, iters, cycles, done, stall, prev, hist = st
+        x, res, j, beta = arnoldi_cycle(x)
         if track_history:
             hist = hist.at[jnp.minimum(cycles, max_cycles - 1)].set(res)
+        stall = jnp.where(beta > stall_factor * prev, stall + 1, 0)
         done = res <= tol_abs
         # A cycle that takes zero steps cannot make progress: stop.
-        done = done | (j == 0)
-        return (x, res, iters + j, cycles + 1, done, hist)
+        done = done | (j == 0) | (stall >= 2)
+        return (x, res, iters + j, cycles + 1, done, stall, beta, hist)
 
     r0 = M_left(b - A(x0))
     res0 = _norm(r0, dot_dtype, axis)
     hist0 = (jnp.full((max_cycles,), jnp.nan, dtype)
              if track_history else jnp.zeros((0,), dtype))
-    st = (x0, res0, jnp.asarray(0), jnp.asarray(0), res0 <= tol_abs, hist0)
-    x, res, iters, cycles, done, hist = lax.while_loop(
+    st = (x0, res0, jnp.asarray(0), jnp.asarray(0), res0 <= tol_abs,
+          jnp.asarray(0), jnp.asarray(jnp.inf, dtype), hist0)
+    x, res, iters, cycles, done, stall, prev, hist = lax.while_loop(
         outer_cond, outer_body, st
     )
     return GmresResult(

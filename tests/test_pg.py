@@ -78,6 +78,37 @@ def test_gmres_engine_matches_direct(tmp_path):
     assert np.abs(got.port_values - ref.port_values).max() / scale < 1e-7
 
 
+def test_gmres_engine_transformed_matches_direct(tmp_path):
+    # Forced Ruiz+RCM similarity (SystemTransform): the z-space scan must
+    # reproduce the untransformed port waveforms exactly (up to solver tol).
+    mna = stamp(parse_netlist(_grid_netlist(tmp_path)))
+    ref = transient_direct(mna)
+    got = transient_gmres(mna, precond="ainv", dtype=jnp.float64, tol=1e-10,
+                          transform="always")
+    assert got.stats["converged"]
+    scale = np.abs(ref.port_values).max()
+    assert np.abs(got.port_values - ref.port_values).max() / scale < 1e-7
+
+
+def test_dc_gmres_transform_on_mna():
+    # dc_solve(gmres) on a system with V-source branch rows (zero diagonal)
+    # must auto-transform and agree with the direct solve.
+    import tempfile, os
+    from gmres_tpu.models.dc import dc_solve
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ckt.sp")
+        with open(p, "w") as f:
+            f.write("V1 vdd 0 DC 1.0\n")
+            for k in range(6):
+                f.write(f"R{k} {'vdd' if k == 0 else 'n%d' % (k-1)} n{k} 1\n")
+            f.write("Rg n5 0 1\n.tran 1n 2n\n")
+        mna = stamp(parse_netlist(p))
+    ref = dc_solve(mna, method="direct")
+    got = dc_solve(mna, method="gmres", precond="ainv")
+    assert np.abs(got - ref).max() < 1e-8
+
+
 def test_gmres_engine_f32_ainv(tmp_path):
     mna = stamp(parse_netlist(_grid_netlist(tmp_path)))
     ref = transient_direct(mna)
