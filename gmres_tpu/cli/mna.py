@@ -8,6 +8,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from gmres_tpu.utils.device import enable_compile_cache
+
+    enable_compile_cache()
     from gmres_tpu.cli.pg import main as pg_main
 
     argv = list(sys.argv[1:] if argv is None else argv)
