@@ -65,8 +65,7 @@ def main(argv=None) -> int:
     enable_compile_cache()
     import jax.numpy as jnp
 
-    from gmres_tpu.frontend.mna import stamp
-    from gmres_tpu.frontend.spice import parse_netlist
+    from gmres_tpu.frontend.mna import load_netlist
     from gmres_tpu.frontend.writers import (
         write_dc_output, write_output, write_xgraph,
     )
@@ -86,8 +85,7 @@ def main(argv=None) -> int:
         print(device_report())
 
     with timers.phase("parse"):
-        nl = parse_netlist(args.netlist)
-        mna = stamp(nl)
+        mna = load_netlist(args.netlist)
     print(f"* parsed {args.netlist}: {mna.num_nodes} nodes, "
           f"{mna.num_vsrc} V-src, {mna.num_ind} L, nnz(G)={mna.G.nnz}")
 

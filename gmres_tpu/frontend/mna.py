@@ -29,7 +29,26 @@ from gmres_tpu.frontend.sources import Source
 from gmres_tpu.frontend.spice import Element, Netlist
 from gmres_tpu.ops.formats import CSRMatrix, TripletBuilder
 
-__all__ = ["MnaSystem", "stamp"]
+__all__ = ["MnaSystem", "stamp", "load_netlist"]
+
+
+def load_netlist(path: str) -> "MnaSystem":
+    """Parse + stamp in one step. Flat netlists go through the native C++
+    fast path (native/spice_parse.cpp — ~20x the Python parser on
+    multi-million-line grids); hierarchical ones (.SUBCKT/X) and missing-
+    library environments fall back to the Python parser. Both paths produce
+    identical systems (tests/test_frontend.py)."""
+    try:
+        from gmres_tpu.native import parse_netlist_native
+
+        mna = parse_netlist_native(path)
+        if mna is not None:
+            return mna
+    except ImportError:
+        pass
+    from gmres_tpu.frontend.spice import parse_netlist
+
+    return stamp(parse_netlist(path))
 
 
 @dataclasses.dataclass

@@ -23,6 +23,7 @@ __all__ = [
     "ainv_factor_native",
     "rcm_native",
     "levels_native",
+    "parse_netlist_native",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -81,6 +82,25 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.gt_levels.argtypes = [ctypes.c_int64, _i64p, _i32p,
                                   ctypes.c_int, _i32p]
         lib.gt_levels.restype = ctypes.c_int
+        lib.gt_parse_netlist.argtypes = [ctypes.c_char_p]
+        lib.gt_parse_netlist.restype = ctypes.c_void_p
+        lib.gt_parse_last_error.argtypes = []
+        lib.gt_parse_last_error.restype = ctypes.c_char_p
+        lib.gt_parse_dim.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.gt_parse_dim.restype = ctypes.c_int64
+        lib.gt_parse_time.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.gt_parse_time.restype = ctypes.c_double
+        lib.gt_parse_fetch_triplets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, _i64p, _i64p, _f64p]
+        lib.gt_parse_fetch_ports.argtypes = [ctypes.c_void_p, _i64p,
+                                             ctypes.c_char_p]
+        lib.gt_parse_fetch_node_names.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_char_p]
+        lib.gt_parse_fetch_source_meta.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_int64, _f64p]
+        lib.gt_parse_fetch_source_pwl.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_int64, _f64p, _f64p]
+        lib.gt_parse_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -159,6 +179,93 @@ def ainv_factor_native(A, drop_tol: float,
     Z = CSRMatrix.from_triplets(zr, zc, zv, (n, n))
     Wt = CSRMatrix.from_triplets(wr, wc, wv, (n, n))
     return Z, Wt, invd
+
+
+def parse_netlist_native(path: str):
+    """Parse + stamp a flat netlist natively. Returns an MnaSystem, or None
+    when the library is unavailable or the netlist is hierarchical
+    (.SUBCKT/X — the Python parser handles those). Raises ValueError on a
+    hard parse error (mirroring the Python parser)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    from gmres_tpu.frontend.mna import MnaSystem
+    from gmres_tpu.frontend.sources import Source
+    from gmres_tpu.ops.formats import CSRMatrix
+
+    h = lib.gt_parse_netlist(path.encode())
+    if not h:
+        err = lib.gt_parse_last_error().decode()
+        if err:
+            raise ValueError(err)
+        return None  # hierarchical: fall back to the Python parser
+    try:
+        nn = lib.gt_parse_dim(h, 0)
+        nv = lib.gt_parse_dim(h, 1)
+        nl = lib.gt_parse_dim(h, 2)
+        nsrc = lib.gt_parse_dim(h, 3)
+        size = nn + nv + nl
+        mats = []
+        for which, ncols in ((0, size), (1, size), (2, nsrc)):
+            nnz = lib.gt_parse_dim(h, 4 + which)
+            r = np.empty(nnz, np.int64)
+            c = np.empty(nnz, np.int64)
+            v = np.empty(nnz, np.float64)
+            if nnz:
+                lib.gt_parse_fetch_triplets(h, which, r, c, v)
+            mats.append(CSRMatrix.from_triplets(r, c, v, (size, ncols)))
+        G, C, B = mats
+
+        nports = lib.gt_parse_dim(h, 7)
+        pn_len = lib.gt_parse_dim(h, 8)
+        ports = np.zeros(nports, np.int64)
+        port_names: list = []
+        if nports:
+            buf = ctypes.create_string_buffer(int(pn_len))
+            lib.gt_parse_fetch_ports(h, ports, buf)
+            port_names = buf.raw[:pn_len].decode().split("\n")
+        names_len = lib.gt_parse_dim(h, 9)
+        node_index = {}
+        if names_len:
+            buf = ctypes.create_string_buffer(int(names_len))
+            lib.gt_parse_fetch_node_names(h, buf)
+            names = buf.raw[:names_len].decode().split("\n")
+            node_index = {nm: i for i, nm in enumerate(names)}
+
+        sources = []
+        for k in range(nsrc):
+            meta = np.empty(10, np.float64)
+            lib.gt_parse_fetch_source_meta(h, k, meta)
+            kind = int(meta[0])
+            if kind == 1:
+                npwl = int(meta[9])
+                t = np.empty(npwl, np.float64)
+                v = np.empty(npwl, np.float64)
+                lib.gt_parse_fetch_source_pwl(h, k, t, v)
+                sources.append(Source(kind="pwl", times=t, values=v,
+                                      dc=float(meta[1])))
+            elif kind == 2:
+                p = meta[2:9]
+                sources.append(Source(kind="pulse", v1=p[0], v2=p[1],
+                                      td=p[2], tr=p[3], tf=p[4], pw=p[5],
+                                      period=p[6]))
+            else:
+                sources.append(Source(kind="dc", dc=float(meta[1])))
+
+        return MnaSystem(
+            G=G, C=C, B=B,
+            sources=sources,
+            node_index=node_index,
+            num_nodes=int(nn),
+            num_vsrc=int(nv),
+            num_ind=int(nl),
+            ports=ports,
+            port_names=port_names,
+            tstep=lib.gt_parse_time(h, 0),
+            tstop=lib.gt_parse_time(h, 1),
+        )
+    finally:
+        lib.gt_parse_free(h)
 
 
 def rcm_native(A) -> Optional[np.ndarray]:

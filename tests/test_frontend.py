@@ -146,3 +146,63 @@ def test_dc_gmres_matches_direct(tmp_path):
     xg = dc_solve(mna, method="gmres", precond="ilu0", dtype=jnp.float64,
                   tol=1e-12)
     assert np.linalg.norm(xd - xg) / np.linalg.norm(xd) < 1e-8
+
+
+def test_native_parser_equivalence(tmp_path):
+    # The C++ fast path (native/spice_parse.cpp) must produce a system
+    # identical to the Python parser+stamper on the full flat feature set.
+    from gmres_tpu.native import parse_netlist_native
+
+    txt = """* equivalence fixture
+V1 vdd 0 DC 1.8
+Vb nb 0 2.5V
+Rsrc vdd n0 0.1
+R1 n0 n1 2k
+R2 n1 n2 1MEG
+C1 n1 0 1p
+L1 n2 n3 1n
+R3 n3 0 2
+I1 n1 0 PWL(0 0 50n 80m
++ 100n 0 200n 0)
+I2 n2 0 PULSE(0 40m 20n 5n 5n 50n 200n)
+I3 n3 0 DC 1m
+.tran 2n 400n
+.print v(n1) v(n3)
+.end
+"""
+    p = tmp_path / "eq.sp"
+    p.write_text(txt)
+    a = stamp(parse_netlist(str(p)))
+    b = parse_netlist_native(str(p))
+    if b is None:
+        pytest.skip("native library unavailable")
+    for name in ("G", "C", "B"):
+        d = abs(getattr(a, name).to_scipy() - getattr(b, name).to_scipy())
+        assert d.nnz == 0 or d.max() == 0, name
+    assert a.node_index == b.node_index
+    assert list(a.ports) == list(b.ports)
+    assert a.port_names == b.port_names
+    assert (a.tstep, a.tstop) == (b.tstep, b.tstop)
+    t = np.linspace(0, 4e-7, 57)
+    for sa, sb in zip(a.sources, b.sources):
+        assert sa.kind == sb.kind
+        assert np.allclose(sa(t), sb(t))
+
+
+def test_load_netlist_fallback_and_errors(tmp_path):
+    from gmres_tpu.frontend.mna import load_netlist
+
+    # hierarchical netlists fall back to the Python parser
+    p = tmp_path / "h.sp"
+    p.write_text(
+        "V1 vdd 0 DC 1\nR0 vdd a 1\n"
+        ".SUBCKT cell x y\nRx x y 1\n.ends\n"
+        "Xu a 0 cell\n.tran 1n 2n\n"
+    )
+    mna = load_netlist(str(p))
+    assert mna.num_nodes == 2
+    # hard parse errors raise ValueError from either path
+    bad = tmp_path / "bad.sp"
+    bad.write_text("R1 a b 0\n.tran 1n 2n\n")
+    with pytest.raises(ValueError):
+        load_netlist(str(bad))
