@@ -48,6 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     choices=["none", "diag", "jacobi", "ilu0", "iluk", "ainv"])
     ap.add_argument("-ir", action="store_true", help="IR-drop analysis")
     ap.add_argument("-dc", action="store_true", help="DC operating point only")
+    ap.add_argument("-refine", action="store_true",
+                    help="mixed-precision iterative refinement (GMRES-IR): "
+                         "f64 state/residuals, f32 inner loop — reaches "
+                         "tolerances below the f32 floor")
     ap.add_argument("-tol", type=float, default=1e-7)
     ap.add_argument("-restart", type=int, default=32)
     ap.add_argument("-o", dest="out", default=None, help="output file basename")
@@ -128,7 +132,7 @@ def main(argv=None) -> int:
             if args.gmres:
                 res = transient_gmres(
                     mna, precond=args.precond, dtype=dtype, tol=args.tol,
-                    restart=args.restart,
+                    restart=args.restart, refine=args.refine,
                 )
                 it = res.stats["iterations"]
                 print(f"* gmres transient: {int(it.sum())} total iterations, "

@@ -35,16 +35,32 @@ class TransientResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("restart", "maxiter", "dot_dtype", "keep_trajectory"),
+    static_argnames=("restart", "maxiter", "dot_dtype", "keep_trajectory",
+                     "work_dtype"),
 )
-def _transient_impl(A, Bop, Ch, U, x0, tol, M_left, M_right, ports, *,
-                    restart, maxiter, dot_dtype, keep_trajectory):
+def _transient_impl(A, Bop, Ch, U, x0, tol, M_left, M_right, ports, hi_ops, *,
+                    restart, maxiter, dot_dtype, keep_trajectory,
+                    work_dtype=None):
+    refine = hi_ops is not None
+    if refine:
+        A_hi, B_hi, Ch_hi = hi_ops
+
     def step(x, u_t):
-        rhs = Bop(u_t) + Ch(x)
-        res = _gmres_impl(
-            rhs, x, tol, A, M_left, M_right,
-            restart=restart, maxiter=maxiter, dot_dtype=dot_dtype,
-        )
+        if refine:
+            # GMRES-IR: the state and the rhs recurrence stay in f64; only
+            # the Arnoldi inner loop runs in work_dtype.
+            rhs = B_hi(u_t) + Ch_hi(x)
+            res = _gmres_impl(
+                rhs, x, tol, A, M_left, M_right,
+                restart=restart, maxiter=maxiter, dot_dtype=dot_dtype,
+                A_hi=A_hi, work_dtype=work_dtype,
+            )
+        else:
+            rhs = Bop(u_t) + Ch(x)
+            res = _gmres_impl(
+                rhs, x, tol, A, M_left, M_right,
+                restart=restart, maxiter=maxiter, dot_dtype=dot_dtype,
+            )
         out_x = res.x if keep_trajectory else res.x[ports]
         return res.x, (out_x, res.iterations, res.residual, res.converged)
 
@@ -68,6 +84,7 @@ def thermal_transient(
     dot_dtype=None,
     ports: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    hi_ops=None,
 ) -> TransientResult:
     """Run the backward-Euler transient ``A x_{k+1} = B u_k + (C/h) x_k``.
 
@@ -80,8 +97,12 @@ def thermal_transient(
       x0: initial state (e.g. the DC solution); zeros if None.
       ports: optional int array of node indices to record instead of the
         full state (the .print/port mechanism of the PG tool).
+      hi_ops: optional (A_hi, B_hi, Ch_hi) f64 operators for mixed-precision
+        iterative refinement: state + rhs in f64, Arnoldi inner loop in
+        ``dtype`` (requires x64 mode).
     """
-    U = jnp.asarray(U, dtype=dtype)
+    hi = jnp.float64 if hi_ops is not None else dtype
+    U = jnp.asarray(U, dtype=hi)
     n = None
     for M in (A, C_over_h):
         if hasattr(M, "shape"):
@@ -89,8 +110,8 @@ def thermal_transient(
     if x0 is None:
         if n is None:
             raise ValueError("pass x0 when A/C are matvec closures")
-        x0 = jnp.zeros((n,), dtype=dtype)
-    x0 = jnp.asarray(x0, dtype=dtype)
+        x0 = jnp.zeros((n,), dtype=hi)
+    x0 = jnp.asarray(x0, dtype=hi)
     keep_trajectory = ports is None
     ports_arr = jnp.asarray(ports if ports is not None else [0], dtype=jnp.int32)
     return _transient_impl(
@@ -103,8 +124,10 @@ def thermal_transient(
         as_operator(M_left),
         as_operator(M_right),
         ports_arr,
+        tuple(as_operator(o) for o in hi_ops) if hi_ops is not None else None,
         restart=int(restart),
         maxiter=int(maxiter),
         dot_dtype=dot_dtype,
         keep_trajectory=keep_trajectory,
+        work_dtype=dtype if hi_ops is not None else None,
     )

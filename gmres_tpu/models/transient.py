@@ -84,6 +84,7 @@ def transient_gmres(
     maxiter: int = 10000,
     dc_method: str = "direct",
     transform: str = "auto",
+    refine: bool = False,
 ) -> PgTransientResult:
     """Device transient: per-step tolerance 1e-7 to match the PG tool
     (gmres_interface_pg.cu:7).
@@ -95,6 +96,12 @@ def transient_gmres(
     fast path; "always"/"none" force it. The backward-Euler recurrence is
     preserved in transformed space, so the scan runs there and only port
     values are mapped back.
+
+    ``refine``: mixed-precision iterative refinement (GMRES-IR) — state,
+    rhs recurrence and per-restart true residuals in f64, Arnoldi inner
+    loop in ``dtype``. Reaches tolerances below the f32 floor (which plain
+    f32 stalls at around 1e-6) for one extra f64 SpMV per restart. Requires
+    x64 mode (enabled automatically).
     """
     from gmres_tpu.models.dc import dc_solve
     from gmres_tpu.ops.spmv import device_operator
@@ -114,15 +121,26 @@ def transient_gmres(
     else:
         A_t, Ch_t, B_t, x_t, ports_t = A, Ch, mna.B, x, ports
 
+    hi_ops = None
+    if refine:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        hi_ops = (
+            device_operator(A_t, dtype=jnp.float64),
+            device_operator(B_t, dtype=jnp.float64),
+            device_operator(Ch_t, dtype=jnp.float64),
+        )
     M = make_preconditioner(precond, A_t, dtype=dtype, fmt="auto")
     res = thermal_transient(
         device_operator(A_t, dtype=dtype),
         device_operator(B_t, dtype=dtype),
         device_operator(Ch_t, dtype=dtype),
         U,
-        x0=jnp.asarray(x_t, dtype=dtype),
+        x0=jnp.asarray(x_t, dtype=jnp.float64 if refine else dtype),
         restart=restart, tol=tol, maxiter=maxiter, M_left=M, dtype=dtype,
         ports=jnp.asarray(ports_t, dtype=jnp.int32),
+        hi_ops=hi_ops,
     )
     port_values = np.asarray(res.X, dtype=np.float64)
     if tr is not None:

@@ -82,6 +82,7 @@ def dia_pallas_supported(A: DiaMatrix) -> bool:
     n_pad = A.shape[0]
     return (
         pallas_enabled()
+        and A.data.dtype == jnp.float32  # no f64 vregs in Mosaic
         and n_pad % _LANES == 0
         and _pick_tile(n_pad) is not None
         and n_pad <= _VMEM_X_LIMIT

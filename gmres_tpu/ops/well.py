@@ -205,6 +205,26 @@ def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMa
     )
 
 
+def _lane_gather(a, idx):
+    """take_along_axis(a, idx, axis=1) with int32 indices. jnp's version
+    converts indices to the default int dtype, which is int64 under x64 —
+    unlowerable in Mosaic; this emits the exact lax.gather shape Mosaic
+    maps to tpu.dynamic_gather, keeping indices int32."""
+    return lax.gather(
+        a,
+        idx[..., None].astype(jnp.int32),
+        lax.GatherDimensionNumbers(
+            offset_dims=(),
+            collapsed_slice_dims=(1,),
+            start_index_map=(1,),
+            operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,),
+        ),
+        slice_sizes=(1, 1),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 def _well_kernel(M, tiles_per_step, wi_ref, lr_ref, va_ref, x_ref, vals_ref,
                  cols_ref, out_ref):
     i = pl.program_id(0)
@@ -219,13 +239,16 @@ def _well_kernel(M, tiles_per_step, wi_ref, lr_ref, va_ref, x_ref, vals_ref,
                  for s in range(_SLOTS)],
                 axis=0,
             )
-            g = jnp.take_along_axis(win8, cols_ref[0, j], axis=1)
+            g = _lane_gather(win8, cols_ref[0, j])
             contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
             lr = lr_ref[i * M + j]
             out_ref[pl.ds(lr, 1), :] += contrib
         return carry
 
-    lax.fori_loop(0, M, body, 0)
+    # int32 loop bounds: under x64 a default int64 induction var mixes
+    # int64 into the scalar index math, which Mosaic cannot lower (its
+    # convert_element_type rule recurses to a RecursionError).
+    lax.fori_loop(jnp.int32(0), jnp.int32(M), body, jnp.int32(0))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -301,6 +324,9 @@ def _well_pallas_enabled() -> bool:
 
 @_spmv_dispatch.register(WellMatrix)
 def _well_spmv_dispatch(A, x):
-    if jax.default_backend() == "tpu" and _well_pallas_enabled():
+    # f64 (GMRES-IR high-precision operators) takes the XLA path: Mosaic
+    # has no f64 vregs. It runs once per restart there, not per iteration.
+    if (jax.default_backend() == "tpu" and _well_pallas_enabled()
+            and A.vals.dtype in (jnp.float32, jnp.bfloat16)):
         return well_spmv(A, x)
     return well_spmv_reference(A, x)

@@ -73,19 +73,32 @@ def _givens(a, b, eps):
 @partial(
     jax.jit,
     static_argnames=("restart", "maxiter", "dot_dtype", "axis",
-                     "track_history"),
+                     "track_history", "work_dtype"),
 )
 def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
-                axis=None, track_history=False):
+                axis=None, track_history=False, A_hi=None, work_dtype=None):
     """Core GMRES(m). When ``axis`` names a mesh axis (inside shard_map),
     vectors are row-sharded and every reduction becomes a psum over that axis
-    (the distributed-MGS design of SURVEY.md §2.7 P5)."""
-    dtype = b.dtype
+    (the distributed-MGS design of SURVEY.md §2.7 P5).
+
+    ``A_hi``: optional high-precision (f64) operator enabling mixed-precision
+    iterative refinement (GMRES-IR): the solution and the per-restart true
+    residual are kept in f64 while the Arnoldi inner loop runs in the working
+    dtype. One f64 SpMV per restart buys residuals far below the f32 floor
+    (~1e-6 relative on PG systems) that plain f32 GMRES stalls at.
+    ``work_dtype``: inner-loop dtype; defaults to b's dtype (pass f32 with an
+    f64 b to refine against a high-precision right-hand side).
+    """
+    dtype = jnp.dtype(work_dtype) if work_dtype is not None else b.dtype
     n = b.shape[0]
     m = restart
     eps = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
 
     op = lambda v: M_left(A(M_right(v)))
+
+    hi = jnp.promote_types(dtype, jnp.float64) if A_hi is not None else dtype
+    b_hi = b.astype(hi) if A_hi is not None else b
+    b = b.astype(dtype)
 
     bnorm = _norm(M_left(b), dot_dtype, axis)
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, dtype))
@@ -127,7 +140,11 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         return w, h1 + h2
 
     def arnoldi_cycle(x):
-        r = M_left(b - A(x))
+        if A_hi is not None:
+            r_pre = (b_hi - A_hi(x)).astype(dtype)
+        else:
+            r_pre = b - A(x)
+        r = M_left(r_pre)
         beta = _norm(r, dot_dtype, axis)
         already = beta <= tol_abs
 
@@ -181,7 +198,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
         y = jnp.where(colmask, y, 0.0)
         dx = M_right(y @ V[:m])
-        return x + dx, res, j, beta
+        return x + dx.astype(x.dtype), res, j, beta
 
     max_cycles = min(-(-maxiter // max(restart, 1)) + 1, 8192)
     # Stall guard: when the true residual at the start of a cycle makes
@@ -202,12 +219,23 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         if track_history:
             hist = hist.at[jnp.minimum(cycles, max_cycles - 1)].set(res)
         stall = jnp.where(beta > stall_factor * prev, stall + 1, 0)
-        done = res <= tol_abs
+        if A_hi is None:
+            done = res <= tol_abs
+        else:
+            # GMRES-IR: the implicit Givens residual drifts optimistic in
+            # f32; only the *true* f64 residual measured at a cycle start
+            # (beta) may declare convergence. A converged solve thus ends
+            # with one j==0 confirmation cycle (a single f64 SpMV).
+            done = beta <= tol_abs
         # A cycle that takes zero steps cannot make progress: stop.
         done = done | (j == 0) | (stall >= 2)
         return (x, res, iters + j, cycles + 1, done, stall, beta, hist)
 
-    r0 = M_left(b - A(x0))
+    x0 = x0.astype(hi)
+    if A_hi is not None:
+        r0 = M_left((b_hi - A_hi(x0)).astype(dtype))
+    else:
+        r0 = M_left(b - A(x0))
     res0 = _norm(r0, dot_dtype, axis)
     hist0 = (jnp.full((max_cycles,), jnp.nan, dtype)
              if track_history else jnp.zeros((0,), dtype))
@@ -238,6 +266,8 @@ def gmres(
     M_right: Optional[Callable] = None,
     dot_dtype=None,
     track_history: bool = False,
+    A_hi=None,
+    work_dtype=None,
 ) -> GmresResult:
     """Solve ``A x = b`` with restarted, preconditioned GMRES(m).
 
@@ -254,6 +284,12 @@ def gmres(
         passing both, as the reference's GMRESilu does, gmres.cu:2069-2252).
       dot_dtype: accumulation dtype for dots/norms (e.g. jnp.float32 when
         storage is bf16).
+      A_hi: optional f64 copy of A enabling mixed-precision iterative
+        refinement (GMRES-IR): x and the per-restart true residual stay in
+        f64 while the inner Arnoldi loop runs in ``work_dtype``. Requires
+        x64 mode; the returned x is f64. Pass b in f64 (and work_dtype=f32)
+        to refine against the unrounded right-hand side.
+      work_dtype: inner-loop dtype; defaults to b's dtype.
     """
     b = jnp.asarray(b)
     if x0 is None:
@@ -269,6 +305,8 @@ def gmres(
         maxiter=int(maxiter),
         dot_dtype=dot_dtype,
         track_history=track_history,
+        A_hi=as_operator(A_hi) if A_hi is not None else None,
+        work_dtype=work_dtype,
     )
 
 

@@ -122,3 +122,34 @@ def test_residual_history():
     assert np.isfinite(h[:k]).all() and np.isnan(h[k:]).all()
     # monotone-ish decrease: final recorded residual is the smallest
     assert h[k - 1] == np.nanmin(h[:k])
+
+
+def test_gmres_ir_beats_f32_floor():
+    # Mixed-precision iterative refinement: f32 inner loop + f64 true
+    # residuals must converge to 1e-11 relative, far below what plain f32
+    # GMRES can reach (~1e-6).
+    import jax.numpy as jnp
+    import numpy as np
+    from conftest import poisson2d
+    from gmres_tpu.solvers.gmres import gmres
+
+    A = poisson2d(24)
+    n = A.shape[0]
+    b = np.random.default_rng(3).standard_normal(n)
+    A32 = A.to_ell(dtype=jnp.float32)
+    A64 = A.to_ell(dtype=jnp.float64)
+    b32 = jnp.asarray(b, jnp.float32)
+
+    plain = gmres(A32, b32, restart=30, tol=1e-11, maxiter=5000)
+    r = b - A.to_scipy() @ np.asarray(plain.x, np.float64)
+    rel_plain = np.linalg.norm(r) / np.linalg.norm(b)
+
+    # b stays f64 so refinement targets the unrounded rhs; inner loop f32
+    ir = gmres(A32, jnp.asarray(b), restart=30, tol=1e-11, maxiter=5000,
+               A_hi=A64, work_dtype=jnp.float32)
+    assert ir.x.dtype == jnp.float64
+    r = b - A.to_scipy() @ np.asarray(ir.x)
+    rel_ir = np.linalg.norm(r) / np.linalg.norm(b)
+    assert rel_ir < 1e-11, rel_ir
+    assert rel_plain > 1e-8  # the floor plain f32 is stuck at
+    assert bool(ir.converged)

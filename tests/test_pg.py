@@ -136,3 +136,15 @@ def test_ir_and_writers(tmp_path):
     text = (tmp_path / "out.output").read_text()
     assert "Node:" in text and "END:" in text
     assert (tmp_path / "out.ir").read_text().startswith("#Tracked")
+
+
+def test_gmres_engine_refine_high_accuracy(tmp_path):
+    # GMRES-IR transient: f32 inner loop, f64 state — must match the f64
+    # direct oracle to ~1e-9, far beyond plain-f32 accuracy.
+    mna = stamp(parse_netlist(_grid_netlist(tmp_path)))
+    ref = transient_direct(mna)
+    got = transient_gmres(mna, precond="ainv", dtype=jnp.float32, tol=1e-10,
+                          transform="always", refine=True)
+    assert got.stats["converged"]
+    scale = np.abs(ref.port_values).max()
+    assert np.abs(got.port_values - ref.port_values).max() / scale < 1e-8
