@@ -90,16 +90,14 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.gt_parse_dim.restype = ctypes.c_int64
         lib.gt_parse_time.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.gt_parse_time.restype = ctypes.c_double
-        lib.gt_parse_fetch_triplets.argtypes = [
-            ctypes.c_void_p, ctypes.c_int32, _i64p, _i64p, _f64p]
+        lib.gt_parse_fetch_csr.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, _i64p, _i32p, _f64p]
         lib.gt_parse_fetch_ports.argtypes = [ctypes.c_void_p, _i64p,
                                              ctypes.c_char_p]
         lib.gt_parse_fetch_node_names.argtypes = [ctypes.c_void_p,
                                                   ctypes.c_char_p]
-        lib.gt_parse_fetch_source_meta.argtypes = [ctypes.c_void_p,
-                                                   ctypes.c_int64, _f64p]
-        lib.gt_parse_fetch_source_pwl.argtypes = [ctypes.c_void_p,
-                                                  ctypes.c_int64, _f64p, _f64p]
+        lib.gt_parse_fetch_sources.argtypes = [ctypes.c_void_p, _f64p,
+                                               _f64p, _f64p]
         lib.gt_parse_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -208,12 +206,11 @@ def parse_netlist_native(path: str):
         mats = []
         for which, ncols in ((0, size), (1, size), (2, nsrc)):
             nnz = lib.gt_parse_dim(h, 4 + which)
-            r = np.empty(nnz, np.int64)
-            c = np.empty(nnz, np.int64)
-            v = np.empty(nnz, np.float64)
-            if nnz:
-                lib.gt_parse_fetch_triplets(h, which, r, c, v)
-            mats.append(CSRMatrix.from_triplets(r, c, v, (size, ncols)))
+            indptr = np.empty(size + 1, np.int64)
+            indices = np.empty(nnz, np.int32)
+            data = np.empty(nnz, np.float64)
+            lib.gt_parse_fetch_csr(h, which, indptr, indices, data)
+            mats.append(CSRMatrix(indptr, indices, data, (size, ncols)))
         G, C, B = mats
 
         nports = lib.gt_parse_dim(h, 7)
@@ -230,27 +227,33 @@ def parse_netlist_native(path: str):
             buf = ctypes.create_string_buffer(int(names_len))
             lib.gt_parse_fetch_node_names(h, buf)
             names = buf.raw[:names_len].decode().split("\n")
-            node_index = {nm: i for i, nm in enumerate(names)}
+            node_index = dict(zip(names, range(len(names))))
 
+        meta = np.empty(nsrc * 10, np.float64)
+        total_pwl = lib.gt_parse_dim(h, 11)
+        t_all = np.empty(max(total_pwl, 1), np.float64)
+        v_all = np.empty(max(total_pwl, 1), np.float64)
+        if nsrc:
+            lib.gt_parse_fetch_sources(h, meta, t_all, v_all)
         sources = []
+        off = 0
         for k in range(nsrc):
-            meta = np.empty(10, np.float64)
-            lib.gt_parse_fetch_source_meta(h, k, meta)
-            kind = int(meta[0])
+            m = meta[k * 10:(k + 1) * 10]
+            kind = int(m[0])
             if kind == 1:
-                npwl = int(meta[9])
-                t = np.empty(npwl, np.float64)
-                v = np.empty(npwl, np.float64)
-                lib.gt_parse_fetch_source_pwl(h, k, t, v)
-                sources.append(Source(kind="pwl", times=t, values=v,
-                                      dc=float(meta[1])))
+                npwl = int(m[9])
+                sources.append(Source(kind="pwl",
+                                      times=t_all[off:off + npwl].copy(),
+                                      values=v_all[off:off + npwl].copy(),
+                                      dc=float(m[1])))
+                off += npwl
             elif kind == 2:
-                p = meta[2:9]
+                p = m[2:9]
                 sources.append(Source(kind="pulse", v1=p[0], v2=p[1],
                                       td=p[2], tr=p[3], tf=p[4], pw=p[5],
                                       period=p[6]))
             else:
-                sources.append(Source(kind="dc", dc=float(meta[1])))
+                sources.append(Source(kind="dc", dc=float(m[1])))
 
         return MnaSystem(
             G=G, C=C, B=B,

@@ -231,18 +231,18 @@ def _well_kernel(M, tiles_per_step, wi_ref, lr_ref, va_ref, x_ref, vals_ref,
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def body(j, carry):
-        @pl.when(va_ref[i * M + j] != 0)
-        def _():
-            # per-sublane windows: 8 dynamic sublane reads -> (8, 128)
-            win8 = jnp.concatenate(
-                [x_ref[wi_ref[(i * M + j) * _SLOTS + s], :][None, :]
-                 for s in range(_SLOTS)],
-                axis=0,
-            )
-            g = _lane_gather(win8, cols_ref[0, j])
-            contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
-            lr = lr_ref[i * M + j]
-            out_ref[pl.ds(lr, 1), :] += contrib
+        # No validity branch: padding chunks carry vals == 0, window 0 and
+        # lrow 0 (all in bounds), so they accumulate exact zeros — cheaper
+        # than a per-chunk pl.when in Mosaic.
+        win8 = jnp.concatenate(
+            [x_ref[wi_ref[(i * M + j) * _SLOTS + s], :][None, :]
+             for s in range(_SLOTS)],
+            axis=0,
+        )
+        g = _lane_gather(win8, cols_ref[0, j])
+        contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
+        lr = lr_ref[i * M + j]
+        out_ref[pl.ds(lr, 1), :] += contrib
         return carry
 
     # int32 loop bounds: under x64 a default int64 induction var mixes

@@ -44,10 +44,58 @@ struct SrcRec {
   std::vector<double> times, values;  // pwl
 };
 
+struct Csr {
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+  std::vector<double> data;
+};
+
+// Triplets -> canonical CSR (row-major, sorted cols, duplicates summed)
+// via counting sort — the Python-side scipy conversion was the single
+// largest cost at 1M nodes (5.4 s for ~20M triplets; this is ~1 s).
+void triplets_to_csr(const Triplets& T, int64_t nrows, Csr* out) {
+  int64_t nnz = (int64_t)T.v.size();
+  std::vector<int64_t> cnt(nrows + 1, 0);
+  for (int64_t k = 0; k < nnz; ++k) cnt[T.r[k] + 1]++;
+  for (int64_t i = 0; i < nrows; ++i) cnt[i + 1] += cnt[i];
+  std::vector<int32_t> cols(nnz);
+  std::vector<double> vals(nnz);
+  {
+    std::vector<int64_t> pos(cnt.begin(), cnt.end() - 1);
+    for (int64_t k = 0; k < nnz; ++k) {
+      int64_t p = pos[T.r[k]]++;
+      cols[p] = (int32_t)T.c[k];
+      vals[p] = T.v[k];
+    }
+  }
+  out->indptr.assign(nrows + 1, 0);
+  out->indices.reserve(nnz);
+  out->data.reserve(nnz);
+  std::vector<std::pair<int32_t, double>> row;
+  for (int64_t i = 0; i < nrows; ++i) {
+    int64_t lo = cnt[i], hi = cnt[i + 1];
+    row.clear();
+    for (int64_t k = lo; k < hi; ++k) row.push_back({cols[k], vals[k]});
+    std::sort(row.begin(), row.end(),
+              [](auto& a, auto& b) { return a.first < b.first; });
+    for (size_t k = 0; k < row.size(); ++k) {
+      if (!out->indices.empty() && (int64_t)out->indices.size() > out->indptr[i]
+          && out->indices.back() == row[k].first) {
+        out->data.back() += row[k].second;
+      } else {
+        out->indices.push_back(row[k].first);
+        out->data.push_back(row[k].second);
+      }
+    }
+    out->indptr[i + 1] = (int64_t)out->indices.size();
+  }
+}
+
 struct ParseResult {
   int64_t nn = 0, nv = 0, nl = 0, nsrc = 0;
   double tstep = 0.0, tstop = 0.0;
   Triplets G, C, B;
+  Csr Gc, Cc, Bc;                     // canonical CSR forms
   std::vector<SrcRec> sources;        // I sources then V sources
   std::vector<int64_t> ports;         // node indices of .print nodes
   std::string port_names;             // '\n'-joined, parallel to ports
@@ -472,6 +520,13 @@ void* gt_parse_netlist(const char* path) {
     if (i) res->node_names += "\n";
     res->node_names += *name_order[i];
   }
+  int64_t size = nn + nv + nl;
+  triplets_to_csr(res->G, size, &res->Gc);
+  triplets_to_csr(res->C, size, &res->Cc);
+  triplets_to_csr(res->B, size, &res->Bc);
+  res->G = Triplets();
+  res->C = Triplets();
+  res->B = Triplets();
   return res;
 }
 
@@ -484,13 +539,18 @@ int64_t gt_parse_dim(void* h, int32_t what) {
     case 1: return r->nv;
     case 2: return r->nl;
     case 3: return r->nsrc;
-    case 4: return (int64_t)r->G.v.size();
-    case 5: return (int64_t)r->C.v.size();
-    case 6: return (int64_t)r->B.v.size();
+    case 4: return (int64_t)r->Gc.data.size();
+    case 5: return (int64_t)r->Cc.data.size();
+    case 6: return (int64_t)r->Bc.data.size();
     case 7: return (int64_t)r->ports.size();
     case 8: return (int64_t)r->port_names.size();
     case 9: return (int64_t)r->node_names.size();
     case 10: return (int64_t)r->sources.size();
+    case 11: {  // total PWL breakpoint count across sources
+      int64_t t = 0;
+      for (const auto& s : r->sources) t += (int64_t)s.times.size();
+      return t;
+    }
   }
   return -1;
 }
@@ -500,13 +560,14 @@ double gt_parse_time(void* h, int32_t what) {
   return what == 0 ? r->tstep : r->tstop;
 }
 
-void gt_parse_fetch_triplets(void* h, int32_t which, int64_t* rr, int64_t* cc,
-                             double* vv) {
+void gt_parse_fetch_csr(void* h, int32_t which, int64_t* indptr,
+                        int32_t* indices, double* data) {
   auto* r = (ParseResult*)h;
-  Triplets* T = which == 0 ? &r->G : which == 1 ? &r->C : &r->B;
-  std::memcpy(rr, T->r.data(), T->r.size() * sizeof(int64_t));
-  std::memcpy(cc, T->c.data(), T->c.size() * sizeof(int64_t));
-  std::memcpy(vv, T->v.data(), T->v.size() * sizeof(double));
+  Csr* M = which == 0 ? &r->Gc : which == 1 ? &r->Cc : &r->Bc;
+  std::memcpy(indptr, M->indptr.data(), M->indptr.size() * sizeof(int64_t));
+  std::memcpy(indices, M->indices.data(),
+              M->indices.size() * sizeof(int32_t));
+  std::memcpy(data, M->data.data(), M->data.size() * sizeof(double));
 }
 
 void gt_parse_fetch_ports(void* h, int64_t* ports, char* names) {
@@ -520,21 +581,25 @@ void gt_parse_fetch_node_names(void* h, char* names) {
   std::memcpy(names, r->node_names.data(), r->node_names.size());
 }
 
-// Source k: meta = [kind, dc, p0..p6, npwl] (10 doubles).
-void gt_parse_fetch_source_meta(void* h, int64_t k, double* meta) {
+// Batched source export: meta[k*10 .. k*10+9] = [kind, dc, p0..p6, npwl];
+// PWL breakpoints concatenated into (t_all, v_all) in source order.
+void gt_parse_fetch_sources(void* h, double* meta, double* t_all,
+                            double* v_all) {
   auto* r = (ParseResult*)h;
-  const SrcRec& s = r->sources[k];
-  meta[0] = (double)s.kind;
-  meta[1] = s.dc;
-  for (int i = 0; i < 7; ++i) meta[2 + i] = s.pulse[i];
-  meta[9] = (double)s.times.size();
-}
-
-void gt_parse_fetch_source_pwl(void* h, int64_t k, double* t, double* v) {
-  auto* r = (ParseResult*)h;
-  const SrcRec& s = r->sources[k];
-  std::memcpy(t, s.times.data(), s.times.size() * sizeof(double));
-  std::memcpy(v, s.values.data(), s.values.size() * sizeof(double));
+  int64_t off = 0;
+  for (size_t k = 0; k < r->sources.size(); ++k) {
+    const SrcRec& s = r->sources[k];
+    double* m = meta + k * 10;
+    m[0] = (double)s.kind;
+    m[1] = s.dc;
+    for (int i = 0; i < 7; ++i) m[2 + i] = s.pulse[i];
+    m[9] = (double)s.times.size();
+    std::memcpy(t_all + off, s.times.data(),
+                s.times.size() * sizeof(double));
+    std::memcpy(v_all + off, s.values.data(),
+                s.values.size() * sizeof(double));
+    off += (int64_t)s.times.size();
+  }
 }
 
 void gt_parse_free(void* h) { delete (ParseResult*)h; }
