@@ -264,11 +264,17 @@ class DistGmresSolver:
             )
 
             def body_batch(b, x0, tol_, Aop, Ml):
+                # sync_axes: batch shards converge in different numbers of
+                # restart cycles, but the collectives inside the loop bodies
+                # (halo ppermute / psum dots over "rows") rendezvous across
+                # the whole mesh — trip counts must be uniform over "batch"
+                # too or the mesh deadlocks (round-1 MULTICHIP failure).
                 return jax.vmap(
                     lambda bb, xx: _gmres_impl(
                         bb, xx, tol_, Aop, Ml, identity,
                         restart=restart, maxiter=maxiter,
                         dot_dtype=dot_dtype, axis=axis,
+                        sync_axes=(self.batch_axis,),
                     )
                 )(b, x0)
 

@@ -56,6 +56,21 @@ def _psum(x, axis):
     return lax.psum(x, axis) if axis is not None else x
 
 
+def _pany(flag, sync_axes):
+    """ANY-reduce a bool over the given mesh axes (no-op when None/empty).
+
+    Used to make loop trip counts *mesh-uniform*: every device keeps
+    iterating while any shard anywhere still needs to, so collectives inside
+    the loop body execute the same number of times on every participant.
+    Without this, batch shards that converge in fewer restart cycles stop
+    issuing the halo ``ppermute``/``psum`` while others continue, and XLA's
+    collective rendezvous (which spans all mesh devices) deadlocks — the
+    round-1 multichip failure."""
+    if not sync_axes:
+        return flag
+    return lax.pmax(flag.astype(jnp.int32), sync_axes) > 0
+
+
 def _norm(v, dot_dtype, axis=None):
     vv = v.astype(dot_dtype) if dot_dtype is not None else v
     return jnp.sqrt(_psum(jnp.sum(vv * vv), axis)).astype(v.dtype)
@@ -73,13 +88,20 @@ def _givens(a, b, eps):
 @partial(
     jax.jit,
     static_argnames=("restart", "maxiter", "dot_dtype", "axis",
-                     "track_history", "work_dtype"),
+                     "track_history", "work_dtype", "sync_axes"),
 )
 def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
-                axis=None, track_history=False, A_hi=None, work_dtype=None):
+                axis=None, track_history=False, A_hi=None, work_dtype=None,
+                sync_axes=None):
     """Core GMRES(m). When ``axis`` names a mesh axis (inside shard_map),
     vectors are row-sharded and every reduction becomes a psum over that axis
     (the distributed-MGS design of SURVEY.md §2.7 P5).
+
+    ``sync_axes``: mesh axes over which loop *trip counts* must be uniform —
+    required whenever independent solves (e.g. batch shards) share one SPMD
+    program containing collectives. Continuation flags are pmax-reduced over
+    these axes; shards that are locally done keep executing the loop bodies
+    (so their collectives stay in lockstep) with all state updates masked.
 
     ``A_hi``: optional high-precision (f64) operator enabling mixed-precision
     iterative refinement (GMRES-IR): the solution and the per-restart true
@@ -112,10 +134,13 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
     BLK = 8
     m_pad = -(-(m + 1) // BLK) * BLK
 
-    def cgs2(V, w, j):
+    def cgs2(V, w, j, step):
         """Orthogonalize w against rows 0..j of V (classical GS, twice).
-        Returns (w_orth, h) with h the (m_pad,) coefficient column."""
-        nb = (j + 1 + BLK - 1) // BLK  # traced trip count
+        Returns (w_orth, h) with h the (m_pad,) coefficient column. The
+        block-loop bound uses ``step`` (mesh-uniform) so the psums inside run
+        the same number of times on every shard; rows beyond this shard's own
+        ``j`` are masked out."""
+        nb = (step + 1 + BLK - 1) // BLK  # traced trip count, mesh-uniform
 
         def one_pass(w):
             w0 = w.astype(dot_dtype) if dot_dtype else w
@@ -155,17 +180,24 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         cs0 = jnp.ones(m, dtype)
         sn0 = jnp.zeros(m, dtype)
 
+        # ``step`` counts *global* loop trips and advances unconditionally;
+        # ``j`` is this shard's own Arnoldi position and freezes once the
+        # shard goes inactive. A shard that is still active has been active
+        # every step, so j == step for it — semantics are unchanged — while
+        # inactive shards keep executing the (collective-bearing) body with
+        # their state updates masked out. ``go`` is the pany-reduced
+        # continue flag so the while_loop trip count is mesh-uniform.
         def cond(st):
-            j, V, R, g, cs, sn, res, active = st
-            return active & (j < m)
+            return st[-1]
 
         def body(st):
-            j, V, R, g, cs, sn, res, active = st
+            step, j, V, R, g, cs, sn, res, active, go = st
             w = op(V[j])
-            w, h = cgs2(V, w, j)
+            w, h = cgs2(V, w, j, step)
             hnext = _norm(w, dot_dtype, axis)
             ok = hnext > eps
-            V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, hnext, 1.0), 0.0))
+            vrow = jnp.where(ok, w / jnp.where(ok, hnext, 1.0), 0.0)
+            V = V.at[j + 1].set(jnp.where(active, vrow, V[j + 1]))
 
             # Apply the j stored rotations to the new column. Unused slots
             # hold identity rotations, so the scan runs unmasked.
@@ -179,17 +211,27 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
             c, s = _givens(h[j], hnext, eps)
             rjj = c * h[j] + s * hnext
             h = h.at[j].set(rjj)
-            cs = cs.at[j].set(c)
-            sn = sn.at[j].set(s)
+            cs_n = cs.at[j].set(c)
+            sn_n = sn.at[j].set(s)
             gj = g[j]
-            g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
-            R = R.at[:, j].set(h[:m])
-            res = jnp.abs(g[j + 1])
-            active = ok & (res > tol_abs)
-            return (j + 1, V, R, g, cs, sn, res, active)
+            g_n = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+            R_n = R.at[:, j].set(h[:m])
+            res_n = jnp.abs(g_n[j + 1])
 
-        init = (jnp.asarray(0), V0, R0, g0, cs0, sn0, beta, ~already)
-        j, V, R, g, cs, sn, res, _ = lax.while_loop(cond, body, init)
+            R = jnp.where(active, R_n, R)
+            g = jnp.where(active, g_n, g)
+            cs = jnp.where(active, cs_n, cs)
+            sn = jnp.where(active, sn_n, sn)
+            res = jnp.where(active, res_n, res)
+            j = jnp.where(active, j + 1, j)
+            active = active & ok & (res_n > tol_abs)
+            go = _pany(active & (j < m), sync_axes)
+            return (step + 1, j, V, R, g, cs, sn, res, active, go)
+
+        active0 = ~already
+        init = (jnp.asarray(0), jnp.asarray(0), V0, R0, g0, cs0, sn0, beta,
+                active0, _pany(active0, sync_axes) if m > 0 else jnp.asarray(False))
+        _, j, V, R, g, cs, sn, res, _, _ = lax.while_loop(cond, body, init)
 
         # Solve R y = g on the full m-by-m system; identity diagonal +
         # zero rhs entries beyond step j make the padding inert.
@@ -210,26 +252,35 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
     stall_factor = jnp.asarray(0.999, dtype)
 
     def outer_cond(st):
-        x, res, iters, cycles, done, stall, prev, hist = st
-        return (~done) & (iters < maxiter)
+        return st[-1]
 
     def outer_body(st):
-        x, res, iters, cycles, done, stall, prev, hist = st
-        x, res, j, beta = arnoldi_cycle(x)
+        x, res, iters, cycles, done, stall, prev, hist, go = st
+        act = ~done  # this shard still solving; lockstep shards run masked
+        x_n, res_n, j, beta = arnoldi_cycle(x)
         if track_history:
-            hist = hist.at[jnp.minimum(cycles, max_cycles - 1)].set(res)
-        stall = jnp.where(beta > stall_factor * prev, stall + 1, 0)
+            hist_n = hist.at[jnp.minimum(cycles, max_cycles - 1)].set(res_n)
+            hist = jnp.where(act, hist_n, hist)
+        stall_n = jnp.where(beta > stall_factor * prev, stall + 1, 0)
         if A_hi is None:
-            done = res <= tol_abs
+            done_n = res_n <= tol_abs
         else:
             # GMRES-IR: the implicit Givens residual drifts optimistic in
             # f32; only the *true* f64 residual measured at a cycle start
             # (beta) may declare convergence. A converged solve thus ends
             # with one j==0 confirmation cycle (a single f64 SpMV).
-            done = beta <= tol_abs
+            done_n = beta <= tol_abs
         # A cycle that takes zero steps cannot make progress: stop.
-        done = done | (j == 0) | (stall >= 2)
-        return (x, res, iters + j, cycles + 1, done, stall, beta, hist)
+        done_n = done_n | (j == 0) | (stall_n >= 2)
+        x = jnp.where(act, x_n, x)
+        res = jnp.where(act, res_n, res)
+        iters = jnp.where(act, iters + j, iters)
+        cycles = jnp.where(act, cycles + 1, cycles)
+        stall = jnp.where(act, stall_n, stall)
+        prev = jnp.where(act, beta, prev)
+        done = jnp.where(act, done_n, done)
+        go = _pany((~done) & (iters < maxiter), sync_axes)
+        return (x, res, iters, cycles, done, stall, prev, hist, go)
 
     x0 = x0.astype(hi)
     if A_hi is not None:
@@ -239,17 +290,26 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
     res0 = _norm(r0, dot_dtype, axis)
     hist0 = (jnp.full((max_cycles,), jnp.nan, dtype)
              if track_history else jnp.zeros((0,), dtype))
-    st = (x0, res0, jnp.asarray(0), jnp.asarray(0), res0 <= tol_abs,
-          jnp.asarray(0), jnp.asarray(jnp.inf, dtype), hist0)
-    x, res, iters, cycles, done, stall, prev, hist = lax.while_loop(
+    done0 = res0 <= tol_abs
+    st = (x0, res0, jnp.asarray(0), jnp.asarray(0), done0,
+          jnp.asarray(0), jnp.asarray(jnp.inf, dtype), hist0,
+          _pany((~done0) & (0 < maxiter), sync_axes))
+    x, res, iters, cycles, done, stall, prev, hist, _ = lax.while_loop(
         outer_cond, outer_body, st
     )
+    if A_hi is None:
+        res_out = res
+    else:
+        # Report convergence against the *true* f64 residual (prev carries
+        # the last cycle-start beta; res drifts optimistic at the f32 floor).
+        # Zero completed cycles means res0 already met tol — use it.
+        res_out = jnp.where(cycles > 0, prev, res0).astype(dtype)
     return GmresResult(
         x=x,
-        residual=res / bnorm,
+        residual=res_out / bnorm,
         iterations=iters,
         restarts=cycles,
-        converged=res <= tol_abs,
+        converged=res_out <= tol_abs,
         history=hist if track_history else None,
     )
 
