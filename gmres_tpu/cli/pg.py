@@ -79,6 +79,11 @@ def main(argv=None) -> int:
     from gmres_tpu.utils.timing import PhaseTimers
 
     args = build_argparser().parse_args(argv)
+    if args.refine:
+        # GMRES-IR keeps f64 state; x64 must be on before any tracing.
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.float32 if args.single else jnp.float64
     base = args.out or os.path.splitext(args.netlist)[0]
     timers = PhaseTimers()

@@ -25,11 +25,15 @@ def dc_solve(
     method: str = "direct",
     precond: str = "ainv",
     dtype=jnp.float64,
-    tol: float = 1e-8,
+    tol: float = 1e-10,
     restart: int = 50,
     maxiter: int = 20000,
 ) -> np.ndarray:
-    """Returns the DC state vector x (node voltages + branch currents)."""
+    """Returns the DC state vector x (node voltages + branch currents).
+
+    Default GMRES tolerance is 1e-10 (the DC state seeds the whole
+    transient; callers on ill-conditioned transformed systems may pass a
+    looser tol explicitly)."""
     rhs = mna.dc_rhs()
     if method == "direct":
         return SparseLU(mna.G).solve(rhs)

@@ -19,7 +19,9 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gmres_tpu.frontend.mna import MnaSystem
 from gmres_tpu.models.thermal import TransientResult, thermal_transient
@@ -54,21 +56,62 @@ def transient_direct(
     tstep: Optional[float] = None,
     tstop: Optional[float] = None,
     x0: Optional[np.ndarray] = None,
+    *,
+    device: bool = False,
+    dtype=jnp.float32,
 ) -> PgTransientResult:
+    """Direct-LU transient (mna_solve.cpp:48-235 semantics).
+
+    ``device=False``: host SuperLU substitution per step (the oracle path).
+    ``device=True``: the reference's GPU direct-LU engine
+    (wrapperGPUforPG.cu:17) — LU factored once on the host, then the WHOLE
+    time loop runs on the TPU as one ``lax.scan``: per step two SpMVs for
+    the rhs and a :class:`DeviceSparseLU` apply (permutation gathers + two
+    level-scheduled triangular solves). No per-step host round-trips.
+    """
     from gmres_tpu.models.dc import dc_solve
 
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
     x = dc_solve(mna, method="direct") if x0 is None else np.asarray(x0)
     dc = x.copy()
+    ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
+    if device:
+        from gmres_tpu.ops.spmv import device_operator
+        from gmres_tpu.solvers.direct import DeviceSparseLU
+
+        lu_dev = DeviceSparseLU.build(A, dtype=dtype)
+        out = _direct_device_impl(
+            lu_dev,
+            device_operator(mna.B, dtype=dtype),
+            device_operator(Ch, dtype=dtype),
+            jnp.asarray(U, dtype=dtype),
+            jnp.asarray(x, dtype=dtype),
+            jnp.asarray(ports, dtype=jnp.int32),
+        )
+        return PgTransientResult(times=times,
+                                 port_values=np.asarray(out, np.float64),
+                                 dc=dc,
+                                 stats={"lu_fill_nnz": lu_dev.fill_nnz})
     lu = SparseLU(A)
     Bs = mna.B.to_scipy()
     Chs = Ch.to_scipy()
-    ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
     out = np.empty((U.shape[0], ports.size))
     for k in range(U.shape[0]):
         x = lu.solve(Bs @ U[k] + Chs @ x)
         out[k] = x[ports]
     return PgTransientResult(times=times, port_values=out, dc=dc)
+
+
+@jax.jit
+def _direct_device_impl(lu_dev, Bop, Chop, U, x0, ports):
+    """Whole direct-LU time loop on device (wrapperGPUforPG.cu:17 role)."""
+
+    def step(x, u_t):
+        xn = lu_dev(Bop(u_t) + Chop(x))
+        return xn, xn[ports]
+
+    _, out = lax.scan(step, x0, U)
+    return out
 
 
 def transient_gmres(
@@ -123,9 +166,16 @@ def transient_gmres(
 
     hi_ops = None
     if refine:
-        import jax
-
-        jax.config.update("jax_enable_x64", True)
+        # GMRES-IR needs f64 arrays. Enabling x64 is a PROCESS-GLOBAL config
+        # change (it alters default widths and forces recompiles for all
+        # later JAX code), so it is the caller's decision — refuse rather
+        # than flip it behind their back (the CLI enables it for -refine).
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "transient_gmres(refine=True) requires x64 mode; call "
+                "jax.config.update('jax_enable_x64', True) at startup "
+                "(global effect: changes default dtypes process-wide)"
+            )
         hi_ops = (
             device_operator(A_t, dtype=jnp.float64),
             device_operator(B_t, dtype=jnp.float64),

@@ -5,10 +5,22 @@ partition (partition3.cpp:63-160; here graph-growing/RCM-block partition,
 pymetis used when present), bordered-block-diagonal permutation
 (partition4's pinv/q), ``dd_form`` splitting into per-part interiors
 As[k], couplings E[k]/F[k] and interface At (form_dd.cpp:32), and
-``dd_solve`` building S = At − Σ F_k As_k⁻¹ E_k column-by-column with
-per-part sparse LU, solving the interface system, then back-substituting
-(solve_dd.cpp:179-300). The out-of-core variant (dd_solve_ooc,
-solve_dd.cpp:631 + dd_save_load.cpp) spills per-part blocks to disk.
+``dd_solve`` building S = At − Σ F_k As_k⁻¹ E_k with per-part sparse LU,
+solving the interface system, then back-substituting
+(solve_dd.cpp:179-300).
+
+The Schur complement is assembled and solved **sparse**, like the
+reference's column-by-column sparse S (solve_dd.cpp:179-300): part k only
+touches the interface nodes on its own boundary, so its contribution is a
+dense |∂k|×|∂k| block scattered into a COO accumulator — never an
+(ni × ni) dense matrix. The E-column solves are batched through one
+SuperLU multi-RHS call per column block instead of one `solve` per column.
+Back-substitution re-solves As_k x_k = f_k − E_k x_t directly, so the
+(interior × ni) AiE blocks are never stored at all.
+
+Out-of-core (`dd_solve_ooc`, solve_dd.cpp:631 + dd_save_load.cpp:8-40)
+persists the per-part *numeric LU factors* (L/U/perm as npz) and reloads
+them per solve, holding at most one part's factorization in memory.
 
 Unlike the reference (sequential over parts in-process), part solves fan
 out over a thread pool. On TPU the *primary* scaling path is the
@@ -22,7 +34,7 @@ import dataclasses
 import os
 import tempfile
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 import scipy.sparse as sp
@@ -33,8 +45,15 @@ from gmres_tpu.solvers.direct import SparseLU
 
 __all__ = [
     "partition_graph", "DDForm", "dd_form", "dd_solve", "DDSolver",
-    "save_matrix", "load_matrix",
+    "save_matrix", "load_matrix", "save_lu_factors", "load_lu_factors",
+    "FactorSolver",
 ]
+
+# column-block width for the batched As_k⁻¹ E_k solves: SuperLU's multi-RHS
+# dgstrs amortizes the symbolic traversal; 256 columns of a 500K/16-part
+# interior is a ~60 MB dense RHS block — one call per part on typical
+# boundary sizes while staying far from memory pressure.
+_SCHUR_COL_BLOCK = 256
 
 
 def partition_graph(A: CSRMatrix, nparts: int) -> np.ndarray:
@@ -70,7 +89,7 @@ class DDForm:
     As: List[CSRMatrix]     # per-part interior blocks
     E: List[sp.csr_matrix]  # interior x interface couplings
     F: List[sp.csr_matrix]  # interface x interior couplings
-    At: np.ndarray          # interface x interface (dense; small)
+    At: sp.csr_matrix       # interface x interface (sparse)
     perm: np.ndarray        # new -> old index
     part_slices: List[slice]
     n_interface: int
@@ -87,11 +106,12 @@ def dd_form(A: CSRMatrix, part: np.ndarray) -> DDForm:
     S = A.to_scipy()
     pattern = ((S != 0) + (S.T != 0)).tocsr()
     nparts = int(part.max()) + 1
+    # a node is interface iff any neighbor lives in a different part
+    # (vectorized: compare each nnz's row/col part ids)
+    coo = pattern.tocoo()
     interface = np.zeros(n, dtype=bool)
-    for i in range(n):
-        nbrs = pattern.indices[pattern.indptr[i]:pattern.indptr[i + 1]]
-        if np.any(part[nbrs] != part[i]):
-            interface[i] = True
+    cross = part[coo.row] != part[coo.col]
+    interface[coo.row[cross]] = True
     order = []
     slices = []
     pos = 0
@@ -111,14 +131,65 @@ def dd_form(A: CSRMatrix, part: np.ndarray) -> DDForm:
         As.append(CSRMatrix.from_scipy(Sp[sl, sl]))
         E.append(Sp[sl, pos:].tocsr())
         F.append(Sp[pos:, sl].tocsr())
-    At = Sp[pos:, pos:].toarray()
+    At = Sp[pos:, pos:].tocsr()
     return DDForm(As=As, E=E, F=F, At=At, perm=perm, part_slices=slices,
                   n_interface=ni)
 
 
+# ---------------------------------------------------------------------------
+# numeric LU factor persistence (dd_save_load.cpp:8-40 role)
+# ---------------------------------------------------------------------------
+
+def save_lu_factors(path: str, lu) -> None:
+    """Persist a SuperLU factorization's numeric factors (L, U, row/col
+    perms) — the binary factor dump of dd_save_load.cpp:8-40."""
+    L = lu.L.tocsc()
+    U = lu.U.tocsc()
+    np.savez(
+        path,
+        L_indptr=L.indptr, L_indices=L.indices, L_data=L.data,
+        U_indptr=U.indptr, U_indices=U.indices, U_data=U.data,
+        perm_r=lu.perm_r, perm_c=lu.perm_c, n=np.asarray(L.shape[0]),
+    )
+
+
+class FactorSolver:
+    """Solve with reloaded numeric LU factors: x = Pc (U \\ (L \\ Pr b)).
+    Mirrors SuperLU's Pr A Pc = L U convention."""
+
+    def __init__(self, L: sp.csc_matrix, U: sp.csc_matrix,
+                 perm_r: np.ndarray, perm_c: np.ndarray):
+        self.L, self.U = L.tocsr(), U.tocsr()
+        self.perm_r, self.perm_c = perm_r, perm_c
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        from scipy.sparse.linalg import spsolve_triangular
+
+        b = np.asarray(b, dtype=np.float64)
+        bp = np.empty_like(b)
+        bp[self.perm_r] = b                  # apply Pr (scatter)
+        y = spsolve_triangular(self.L, bp, lower=True)
+        z = spsolve_triangular(self.U, y, lower=False)
+        return z[self.perm_c]                # apply Pc (gather)
+
+
+def load_lu_factors(path: str) -> FactorSolver:
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    n = int(z["n"])
+    L = sp.csc_matrix((z["L_data"], z["L_indices"], z["L_indptr"]), (n, n))
+    U = sp.csc_matrix((z["U_data"], z["U_indices"], z["U_indptr"]), (n, n))
+    return FactorSolver(L, U, z["perm_r"], z["perm_c"])
+
+
 class DDSolver:
     """Factor once, solve many right-hand sides (the reusable role of the
-    reference's saved numeric factors, dd_save_load.cpp)."""
+    reference's saved numeric factors, dd_save_load.cpp).
+
+    Memory: the Schur complement is sparse (COO-accumulated per-part
+    boundary blocks); no (interior × ni) AiE is ever formed — back-
+    substitution performs a second interior solve per part instead. With
+    ``out_of_core`` the per-part LU factors live on disk between solves.
+    """
 
     def __init__(self, form: DDForm, workers: int = 0,
                  out_of_core: bool = False, workdir: Optional[str] = None):
@@ -128,19 +199,29 @@ class DDSolver:
         self._workdir = workdir or (tempfile.mkdtemp(prefix="gt_dd_")
                                     if out_of_core else None)
         nparts = len(form.As)
-        ni = form.At.shape[0]
+        ni = form.n_interface
 
         def build_schur(k):
+            """LU-factor part k and form its (sparse) Schur contribution
+            F_k As_k⁻¹ E_k restricted to the part's boundary footprint."""
             lu = SparseLU(form.As[k])
-            Ek = form.E[k].toarray()
-            if Ek.size:
-                AiE = np.column_stack([lu.solve(Ek[:, j])
-                                       for j in range(Ek.shape[1])])
-                contrib = form.F[k] @ AiE
-            else:
-                AiE = np.zeros((form.As[k].shape[0], ni))
-                contrib = np.zeros_like(form.At)
-            return contrib, lu, AiE
+            Ek, Fk = form.E[k], form.F[k]
+            rows_i = np.unique(Fk.tocoo().row)        # boundary rows of S
+            cols_j = np.unique(Ek.tocoo().col)        # boundary cols of S
+            if rows_i.size == 0 or cols_j.size == 0:
+                return lu, (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            np.zeros(0))
+            Fi = Fk[rows_i, :]                         # (|∂k|, n_k) sparse
+            blocks = []
+            for j0 in range(0, cols_j.size, _SCHUR_COL_BLOCK):
+                jb = cols_j[j0:j0 + _SCHUR_COL_BLOCK]
+                Eb = np.asarray(Ek[:, jb].todense())   # (n_k, blk) dense
+                Xb = lu._lu.solve(Eb)                  # batched multi-RHS
+                blocks.append(Fi @ Xb)                 # (|∂k|, blk) dense
+            C = np.concatenate(blocks, axis=1)         # (|∂k|, |∂k_cols|)
+            rr = np.repeat(rows_i, cols_j.size)
+            cc = np.tile(cols_j, rows_i.size)
+            return lu, (rr, cc, C.ravel())
 
         if workers and workers > 1:
             with ThreadPoolExecutor(max_workers=workers) as ex:
@@ -148,45 +229,57 @@ class DDSolver:
         else:
             results = [build_schur(k) for k in range(nparts)]
 
-        S = form.At.copy()
-        self._lus: List[SparseLU] = []
-        self._AiE: dict = {}
-        for k, (contrib, lu, AiE) in enumerate(results):
-            S -= contrib
-            self._lus.append(lu)
+        rr_all, cc_all, vv_all = [], [], []
+        self._lu_paths: List[Optional[str]] = []
+        self._lus: List[Optional[SparseLU]] = []
+        for k, (lu, (rr, cc, vv)) in enumerate(results):
+            rr_all.append(rr)
+            cc_all.append(cc)
+            vv_all.append(vv)
             if out_of_core:
-                np.save(os.path.join(self._workdir, f"AiE_{k}.npy"), AiE)
+                path = os.path.join(self._workdir, f"lu_{k}.npz")
+                save_lu_factors(path, lu._lu)
+                self._lu_paths.append(path)
+                self._lus.append(None)                 # reloaded per solve
             else:
-                self._AiE[k] = AiE
-        import scipy.linalg as sla
+                self._lu_paths.append(None)
+                self._lus.append(lu)
 
-        self._schur = sla.lu_factor(S) if S.size else None
+        if ni:
+            contrib = sp.coo_matrix(
+                (np.concatenate(vv_all),
+                 (np.concatenate(rr_all), np.concatenate(cc_all))),
+                shape=(ni, ni),
+            ).tocsr()
+            S = (form.At - contrib).tocsc()
+            import scipy.sparse.linalg as spla
+
+            self._schur = spla.splu(S)
+        else:
+            self._schur = None
+
+    def _part_solver(self, k):
+        if self._lus[k] is not None:
+            return self._lus[k]
+        return load_lu_factors(self._lu_paths[k])
 
     def solve(self, b: np.ndarray) -> np.ndarray:
-        import scipy.linalg as sla
-
         form = self.form
         bp = np.asarray(b, dtype=np.float64)[form.perm]
         pos = form.part_slices[-1].stop if form.part_slices else 0
         g = bp[pos:].copy()
-        interior_sol = []
         for k, sl in enumerate(form.part_slices):
             fk = bp[sl]
-            yk = self._lus[k].solve(fk) if fk.size else fk
-            interior_sol.append(yk)
-            if fk.size and form.F[k].shape[0]:
-                g -= form.F[k] @ yk
-        xt = sla.lu_solve(self._schur, g) if self._schur is not None else g
+            if fk.size and form.F[k].nnz:
+                g -= form.F[k] @ self._part_solver(k).solve(fk)
+        xt = self._schur.solve(g) if self._schur is not None else g
         xp = np.empty_like(bp)
         xp[pos:] = xt
         for k, sl in enumerate(form.part_slices):
-            if interior_sol[k].size:
-                if self.out_of_core:
-                    AiE = np.load(os.path.join(self._workdir, f"AiE_{k}.npy"))
-                else:
-                    AiE = self._AiE[k]
-                corr = AiE @ xt if AiE is not None and AiE.size else 0.0
-                xp[sl] = interior_sol[k] - corr
+            fk = bp[sl]
+            if fk.size:
+                rhs = fk - (form.E[k] @ xt if form.E[k].nnz else 0.0)
+                xp[sl] = self._part_solver(k).solve(rhs)
         x = np.empty_like(xp)
         x[form.perm] = xp
         return x

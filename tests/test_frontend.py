@@ -206,3 +206,22 @@ def test_load_netlist_fallback_and_errors(tmp_path):
     bad.write_text("R1 a b 0\n.tran 1n 2n\n")
     with pytest.raises(ValueError):
         load_netlist(str(bad))
+
+
+@pytest.mark.parametrize("badval", ["1k5", "1.8)", "2..5", "abc"])
+def test_native_parser_rejects_malformed_values(tmp_path, badval):
+    """Both parsers must FAIL identically on malformed numeric tokens
+    (ADVICE r1: native strtod used to silently accept '1k5'/'1.8)')."""
+    from gmres_tpu.native import parse_netlist_native
+
+    p = tmp_path / "bad.sp"
+    p.write_text(f"R1 a b {badval}\n.tran 1n 10n\n.end\n")
+    with pytest.raises(ValueError):
+        stamp(parse_netlist(str(p)))
+    try:
+        parse_netlist_native(str(p))
+    except ImportError:
+        pytest.skip("native library unavailable")
+    except (ValueError, RuntimeError):
+        return  # rejected, as required
+    pytest.fail(f"native parser accepted malformed value {badval!r}")

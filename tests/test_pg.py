@@ -148,3 +148,18 @@ def test_gmres_engine_refine_high_accuracy(tmp_path):
     assert got.stats["converged"]
     scale = np.abs(ref.port_values).max()
     assert np.abs(got.port_values - ref.port_values).max() / scale < 1e-8
+
+
+def test_direct_device_engine_matches_host(tmp_path):
+    """Device-resident direct-LU transient (wrapperGPUforPG.cu:17 parity):
+    the lax.scan engine with level-scheduled L/U solves must reproduce the
+    host SuperLU loop to factor-precision."""
+    mna = stamp(parse_netlist(_grid_netlist(tmp_path)))
+    ref = transient_direct(mna)
+    got = transient_direct(mna, device=True, dtype=jnp.float64)
+    assert got.stats["lu_fill_nnz"] > 0
+    scale = np.abs(ref.port_values).max()
+    assert np.abs(got.port_values - ref.port_values).max() / scale < 1e-9
+    # f32 factors: the reference's single-precision GPU path accuracy class
+    got32 = transient_direct(mna, device=True, dtype=jnp.float32)
+    assert np.abs(got32.port_values - ref.port_values).max() / scale < 1e-4
