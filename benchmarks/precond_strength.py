@@ -32,7 +32,8 @@ import scipy.sparse.linalg as spla
 # matrices
 # ---------------------------------------------------------------------------
 
-def pg_conductance(nx: int = 316, seed: int = 0, decades: float = 1.0):
+def pg_conductance(nx: int = 316, seed: int = 0, decades: float = 1.0,
+                   ground: float = 1e-3):
     """Irregular power-grid conductance matrix (grid + vias), like
     bench.py's WELL workload; ``decades`` widens the conductance range."""
     rng = np.random.default_rng(seed)
@@ -52,7 +53,7 @@ def pg_conductance(nx: int = 316, seed: int = 0, decades: float = 1.0):
     g = 10.0 ** rng.uniform(-decades / 2, decades / 2, rows.shape[0])
     G = sp.coo_matrix((-g, (rows, cols)), shape=(n, n))
     G = G + G.T
-    d = -np.asarray(G.sum(axis=1)).ravel() + 1e-6
+    d = -np.asarray(G.sum(axis=1)).ravel() + ground
     return (G + sp.diags(d)).tocsr()
 
 
@@ -61,7 +62,7 @@ def saddle_mna(nx: int = 316, nsrc: int = 64, seed: int = 1):
     structurally zero diagonals; conductances span 6 decades. This is the
     matrix class where unpivoted ILU breaks (parser.cpp V-source stamping,
     SURVEY §2.1)."""
-    G = pg_conductance(nx, seed=seed, decades=6.0)
+    G = pg_conductance(nx, seed=seed, decades=6.0, ground=1e-4)
     n = G.shape[0]
     rng = np.random.default_rng(seed + 1)
     nodes = rng.choice(n, nsrc, replace=False)
@@ -189,6 +190,7 @@ def main():
         "ainv_tr": lambda A: ainv_op(A),
         "ilutp_1e-3": lambda A: ilutp_op(A, 1e-3, 5.0),
         "ilutp_1e-4": lambda A: ilutp_op(A, 1e-4, 10.0),
+        "ilutp_1e-5": lambda A: ilutp_op(A, 1e-5, 20.0),
     }
 
     for case in args.cases.split(","):

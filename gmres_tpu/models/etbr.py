@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -74,6 +75,17 @@ def _source_spectra(mna: MnaSystem, tstep: float, tstop: float,
     L = len(t)
     U = eval_sources(mna.sources, t)  # (L, nsrc)
     max_i = float(np.abs(U).max()) if U.size else 0.0
+    if L > fft_n:
+        import warnings
+
+        # matches the reference's own 1024-point FFT (etbr2.cpp:62-130) but
+        # the truncation is worth surfacing: long transients mis-sample.
+        warnings.warn(
+            f"ETBR source spectra computed from the first {fft_n} of {L} "
+            f"time steps; source activity after t={fft_n * tstep:.3g}s does "
+            f"not influence the frequency samples (raise fft_n to cover it)",
+            stacklevel=3,
+        )
     buf = np.zeros((fft_n, U.shape[1]))
     buf[: min(L, fft_n)] = U[:fft_n]
     spec = np.abs(np.fft.rfft(buf, axis=0)) * (2.0 / L)  # (fft_n/2+1, nsrc)
@@ -243,12 +255,21 @@ def mixed_transient(
     tstop: Optional[float] = None,
     threshold: float = 0.05,
     vdd: Optional[float] = None,
+    device: bool = True,
+    dtype=jnp.float64,
 ) -> PgTransientResult:
     """Reduced stepping with dynamic error control (transim2.cpp:440-610):
     track the residual current of the reduced solution; when it exceeds the
     allowed level, re-solve the full system by sparse LU and continue from
     the exact state, adapting the threshold via an effective-resistance
     estimate (allowed voltage error / observed max drop per unit current).
+
+    ``device=True`` (default): the WHOLE loop — reduced solve, residual
+    check, *and* the full-system re-solve (via :class:`DeviceSparseLU`
+    level-scheduled tri-solves under ``lax.cond``) — runs as one jitted
+    ``lax.scan``. One host dispatch for the entire transient instead of the
+    reference's (and the host path's) one-plus round-trips per step.
+    ``device=False`` keeps the per-step host loop as the decision oracle.
     """
     h = tstep or mna.tstep
     stop = tstop or mna.tstop
@@ -257,11 +278,7 @@ def mixed_transient(
     Gs, Cs, Bs = mna.G.to_scipy(), mna.C.to_scipy(), mna.B.to_scipy()
     Chs = Cs / h
     Afull = CSRMatrix.from_scipy((Gs + Chs).tocsr())
-    lu_full = SparseLU(Afull)
     Ar, Chr = _reduced_mats(model, mna, h)
-    import scipy.linalg as sla
-
-    lupiv = sla.lu_factor(Ar)
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
 
     from gmres_tpu.models.dc import dc_solve
@@ -270,6 +287,20 @@ def mixed_transient(
     dc = x.copy()
     vdd = vdd if vdd is not None else (np.abs(dc).max() or 1.0)
     allowed_v = threshold * vdd
+
+    if device:
+        out, n_resolves, allow_final = _mixed_device(
+            model, mna, Afull, Chs, Ar, Chr, U, x, ports, allowed_v, dtype)
+        return PgTransientResult(
+            times=times, port_values=np.asarray(out, np.float64), dc=dc,
+            stats={"full_resolves": int(n_resolves),
+                   "allow_cur_resid": float(allow_final)},
+        )
+
+    lu_full = SparseLU(Afull)
+    import scipy.linalg as sla
+
+    lupiv = sla.lu_factor(Ar)
     # effective resistance here = transfer factor from residual current to
     # node-voltage error, calibrated on full re-solves (the role of
     # avg_eff_resist, transim2.cpp:440-610)
@@ -305,3 +336,63 @@ def mixed_transient(
         stats={"full_resolves": n_resolves,
                "allow_cur_resid": float(allow_cur_resid)},
     )
+
+
+def _mixed_device(model, mna, Afull, Chs, Ar, Chr, U, x0, ports, allowed_v,
+                  dtype):
+    """Device mixed loop: identical decisions to the host oracle above
+    (tests/test_etbr.py pins decision-equality on the 32x32 grid)."""
+    from gmres_tpu.ops.spmv import device_operator
+    from gmres_tpu.solvers.direct import DeviceSparseLU
+
+    num_nodes = mna.num_nodes
+    lu_dev = DeviceSparseLU.build(Afull, dtype=dtype)
+    Aop = device_operator(Afull, dtype=dtype)
+    Bop = device_operator(mna.B, dtype=dtype)
+    Chop = device_operator(CSRMatrix.from_scipy(Chs.tocsr()), dtype=dtype)
+    rlu, rpiv = jax.scipy.linalg.lu_factor(jnp.asarray(Ar, dtype=dtype))
+    Xd = jnp.asarray(model.X, dtype=dtype)
+    Brd = jnp.asarray(model.Br, dtype=dtype)
+    Chrd = jnp.asarray(Chr, dtype=dtype)
+    Ud = jnp.asarray(U, dtype=dtype)
+    ports_d = jnp.asarray(ports, jnp.int32)
+    node_mask = (jnp.arange(Xd.shape[0]) < num_nodes).astype(dtype)
+
+    @partial(jax.jit, static_argnums=())
+    def run(lu_dev, Aop, Bop, Chop, x0d, allowed):
+        def step(carry, u):
+            x, eff, allow, nres = carry
+            w_full = Bop(u) + Chop(x)
+            xr = Xd.T @ x
+            wr = Brd @ u + Chrd @ xr
+            xr1 = jax.scipy.linalg.lu_solve((rlu, rpiv), wr)
+            x1 = Xd @ xr1
+            max_resid = jnp.max(jnp.abs(w_full - Aop(x1)))
+            violate = max_resid > allow
+
+            def full_branch(_):
+                x_exact = lu_dev(w_full)
+                v_err = jnp.max(jnp.abs(x1 - x_exact) * node_mask)
+                ok = (max_resid > 0) & (v_err > 0)
+                r_est = v_err / jnp.where(max_resid > 0, max_resid, 1.0)
+                eff2 = jnp.where(jnp.isnan(eff), r_est, 0.5 * (eff + r_est))
+                eff_n = jnp.where(ok, eff2, eff)
+                allow_n = jnp.where(ok, allowed / eff2, allow)
+                return x_exact, eff_n, allow_n, nres + 1
+
+            def reduced_branch(_):
+                return x1, eff, allow, nres
+
+            x_n, eff_n, allow_n, nres_n = lax.cond(
+                violate, full_branch, reduced_branch, None)
+            return (x_n, eff_n, allow_n, nres_n), x_n[ports_d]
+
+        init = (x0d, jnp.asarray(jnp.nan, dtype), jnp.asarray(0.0, dtype),
+                jnp.asarray(0, jnp.int32))
+        (xf, eff, allow, nres), out = lax.scan(step, init, Ud)
+        return out, nres, allow
+
+    out, nres, allow = run(lu_dev, Aop, Bop, Chop,
+                           jnp.asarray(x0, dtype=dtype),
+                           jnp.asarray(allowed_v, dtype))
+    return out, int(nres), float(allow)

@@ -14,13 +14,13 @@ Jacobi-sweep triangular solves.
 """
 
 from gmres_tpu.precond.jacobi import JacobiPrecond, jacobi
-from gmres_tpu.precond.ilu import IluPrecond, ilu0, iluk
+from gmres_tpu.precond.ilu import IluPrecond, IlutpPrecond, ilu0, iluk, ilutp
 from gmres_tpu.precond.ainv import AinvPrecond, ainv
 from gmres_tpu.precond.trisolve import LevelTriSolve, tri_solve_levels
 
 __all__ = [
     "JacobiPrecond", "jacobi",
-    "IluPrecond", "ilu0", "iluk",
+    "IluPrecond", "IlutpPrecond", "ilu0", "iluk", "ilutp",
     "AinvPrecond", "ainv",
     "LevelTriSolve", "tri_solve_levels",
     "make_preconditioner",
@@ -40,6 +40,7 @@ def make_preconditioner(name: str, A, **kw):
     builders = {
         "diag": jacobi, "jacobi": jacobi,
         "ilu0": ilu0, "iluk": iluk, "ainv": ainv,
+        "ilutp": ilutp, "ilupp": ilutp,
     }
     if name not in builders:
         raise ValueError(f"unknown preconditioner {name!r}")

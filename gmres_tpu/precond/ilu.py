@@ -246,3 +246,64 @@ def iluk(A: CSRMatrix, fill_level: int = 2, dtype=jnp.float32,
          mode: str = "levels", sweeps: int = 8) -> IluPrecond:
     L, U = iluk_factor(A, fill_level)
     return _build(L, U, dtype, mode, sweeps)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lsolve", "usolve", "row_gather", "col_gather"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class IlutpPrecond:
+    """Threshold-ILU with partial pivoting (ILUTP): the strength class of
+    the reference's ILU++ multilevel ILUCDP (MyILUPP, preconditioner.h:181-
+    244; built at mna_solve_gpu_gmres.cpp:316-344 with threshold/MEM_FACTOR
+    tuning). Factored on the host by SuperLU's incomplete mode
+    (scipy.sparse.linalg.spilu: dual threshold drop + partial pivoting —
+    the pivoting is what survives MNA saddle-point rows where level-based
+    ILU(k) needs thousands of iterations; benchmarks/precond_strength.py).
+    Device apply = permutation gathers + two level-scheduled (or Jacobi-
+    sweep) triangular solves, exactly the MyILUPP apply shape
+    (perm + tri-solves + perm, preconditioner.cu:962-1155):
+
+        M^{-1} v = Pc (U^{-1} (L^{-1} (Pr v)))
+    """
+
+    lsolve: object
+    usolve: object
+    row_gather: jax.Array  # (n,) int32 — applies Pr
+    col_gather: jax.Array  # (n,) int32 — applies Pc
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        z = self.lsolve(v[self.row_gather])
+        return self.usolve(z)[self.col_gather]
+
+
+def ilutp(A: CSRMatrix, drop_tol: float = 1e-4, fill_factor: float = 10.0,
+          dtype=jnp.float32, mode: str = "levels",
+          sweeps: int = 8) -> IlutpPrecond:
+    """Build an ILUTP preconditioner (SuperLU spilu factorization)."""
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    from gmres_tpu.ops.formats import CSRMatrix as _CSR
+
+    ilu = spla.spilu(A.to_scipy().tocsc(), drop_tol=drop_tol,
+                     fill_factor=fill_factor)
+    L = _CSR.from_scipy(ilu.L.tocsr())
+    U = _CSR.from_scipy(ilu.U.tocsr())
+    if mode == "levels":
+        ls = tri_solve_levels(L, lower=True, dtype=dtype, unit_diag=True)
+        us = tri_solve_levels(U, lower=False, dtype=dtype)
+    elif mode == "sweeps":
+        ls = tri_solve_sweeps(L, lower=True, dtype=dtype, unit_diag=True,
+                              sweeps=sweeps)
+        us = tri_solve_sweeps(U, lower=False, dtype=dtype, sweeps=sweeps)
+    else:
+        raise ValueError(f"unknown tri-solve mode {mode!r}")
+    return IlutpPrecond(
+        lsolve=ls,
+        usolve=us,
+        row_gather=jnp.asarray(np.argsort(ilu.perm_r), jnp.int32),
+        col_gather=jnp.asarray(ilu.perm_c.astype(np.int32)),
+    )

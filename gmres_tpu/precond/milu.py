@@ -154,6 +154,14 @@ class MiluSolver:
     tol: float = 1e-7
     maxiter: int = 10000
     trisolve: str = "levels"
+    # "iluk": level-based fill (fast setup, strong on grounded PG matrices:
+    # beats the SuperLU-ILUTP stand-in there, benchmarks/precond_strength).
+    # "ilutp": threshold + partial pivoting (the ILU++/ILUCDP strength
+    # class; near-direct on saddle-point MNA where iluk needs 20x+ the
+    # iterations). drop_tol/fill_factor apply to ilutp only.
+    factor: str = "iluk"
+    drop_tol: float = 1e-4
+    fill_factor: float = 10.0
 
     def __post_init__(self):
         from gmres_tpu.ops.spmv import device_matrix
@@ -161,8 +169,17 @@ class MiluSolver:
         A = self.A
         self.tr = SystemTransform.build(A, self.ruiz_iters, self.reorder)
         App = self.tr.mat(A)
-        L, U = iluk_factor(App, self.fill_level)
-        self.M = _build_ilu(L, U, self.dtype, self.trisolve, sweeps=8)
+        if self.factor == "ilutp":
+            from gmres_tpu.precond.ilu import ilutp
+
+            self.M = ilutp(App, drop_tol=self.drop_tol,
+                           fill_factor=self.fill_factor, dtype=self.dtype,
+                           mode=self.trisolve)
+        elif self.factor == "iluk":
+            L, U = iluk_factor(App, self.fill_level)
+            self.M = _build_ilu(L, U, self.dtype, self.trisolve, sweeps=8)
+        else:
+            raise ValueError(f"unknown factor {self.factor!r}")
         self.A_dev = device_matrix(App, dtype=self.dtype)
         self._logical_n = A.shape[0]
 

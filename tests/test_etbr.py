@@ -90,3 +90,18 @@ def test_singular_value_decay(grid_mna):
     s = model.sigma
     assert s[0] > 0
     assert s[min(10, len(s) - 1)] / s[0] < 1e-2  # reducible system
+
+
+def test_mixed_device_matches_host_oracle(grid_mna):
+    """VERDICT r1 #7: the device lax.scan mixed engine must take the SAME
+    re-solve decisions as the per-step host loop and produce the same
+    waveforms (single dispatch vs one host round-trip per step)."""
+    mna = grid_mna
+    model = etbr_reduce(mna, q=4)
+    host = mixed_transient(model, mna, threshold=0.001, device=False)
+    dev = mixed_transient(model, mna, threshold=0.001, device=True)
+    assert dev.stats["full_resolves"] == host.stats["full_resolves"]
+    assert np.isclose(dev.stats["allow_cur_resid"],
+                      host.stats["allow_cur_resid"], rtol=1e-9)
+    scale = np.abs(host.port_values).max()
+    assert np.abs(dev.port_values - host.port_values).max() / scale < 1e-9

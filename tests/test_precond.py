@@ -133,3 +133,43 @@ def test_make_preconditioner_factory():
         v = jnp.ones(A.shape[0], dtype=jnp.float64)
         out = M(v)
         assert out.shape == v.shape
+
+
+def test_ilutp_saddle_point():
+    """ILUTP (threshold + pivoting, the ILU++ strength class) must handle
+    MNA saddle-point rows that level-based ILU(k) struggles with
+    (VERDICT r1 #5; strength data in benchmarks/precond_strength.py)."""
+    import scipy.sparse as sp
+
+    from gmres_tpu.precond import make_preconditioner
+    from gmres_tpu.precond.milu import SystemTransform
+
+    rng = np.random.default_rng(3)
+    G = poisson2d(12).to_scipy() + 0.01 * sp.eye(144)
+    nodes = rng.choice(144, 6, replace=False)
+    Bv = sp.coo_matrix((np.ones(6), (nodes, np.arange(6))), shape=(144, 6))
+    A = sp.bmat([[G, Bv], [Bv.T, sp.csr_matrix((6, 6))]], format="csr")
+    Ac = CSRMatrix.from_scipy(A)
+    tr = SystemTransform.build(Ac)
+    App = tr.mat(Ac)
+    M = make_preconditioner("ilutp", App, dtype=jnp.float64,
+                            drop_tol=1e-5, fill_factor=20.0)
+    b = tr.rhs_to(rng.standard_normal(150))
+    res = gmres(App.to_ell(dtype=jnp.float64), jnp.asarray(b),
+                restart=30, tol=1e-10, maxiter=500, M_left=M)
+    assert bool(res.converged)
+    assert int(res.iterations) < 40  # near-direct strength
+
+
+def test_ilutp_matches_scipy_apply():
+    """Device ILUTP apply == scipy spilu.solve on the same factors."""
+    import scipy.sparse.linalg as spla
+
+    from gmres_tpu.precond.ilu import ilutp
+
+    A = random_sparse(80, 0.08, seed=9, diag_boost=4.0)
+    M = ilutp(A, drop_tol=1e-6, fill_factor=30.0, dtype=jnp.float64)
+    ref = spla.spilu(A.to_scipy().tocsc(), drop_tol=1e-6, fill_factor=30.0)
+    v = np.random.default_rng(1).standard_normal(80)
+    got = np.asarray(M(jnp.asarray(v)))
+    assert np.allclose(got, ref.solve(v), atol=1e-10)
