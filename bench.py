@@ -105,11 +105,12 @@ def dia_matvec_numpy(data: np.ndarray, offsets, x: np.ndarray) -> np.ndarray:
     return y
 
 
-def build_pg_mna(nx: int = 316, seed: int = 0):
+def build_pg_mna(nx: int = 316, seed: int = 0, rcm: bool = True):
     """~100K-row PG-MNA-like general-sparsity matrix: irregular 2-D grid
     conductances with randomly deleted edges, long-range via connections,
-    and RCM ordering (the standard preprocessing of the PG pipeline).
-    Matches the 100K/498K-nnz matrix class of MEASUREMENTS.md §WELL."""
+    and (optionally) RCM ordering. Matches the 100K/498K-nnz matrix class
+    of MEASUREMENTS.md §WELL. Natural ordering (rcm=False) is what the
+    front-end produces and what the hybrid DIA+WELL router expects."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -133,6 +134,8 @@ def build_pg_mna(nx: int = 316, seed: int = 0):
     G = G + G.T
     d = -np.asarray(G.sum(axis=1)).ravel() + 1e-3
     A = (G + sp.diags(d)).tocsr()
+    if not rcm:
+        return A
     p = reverse_cuthill_mckee(A, symmetric_mode=True)
     return A[p][:, p].tocsr()
 
@@ -174,31 +177,54 @@ def main():
         dt = bench_chain(jax, lambda v: spmv(A, v), x)
         dia_nnz_per_s = nnz / dt
 
-        # ---- WELL general-sparsity path (every real PG netlist) ----
+        # ---- general-sparsity paths (every real PG netlist) ----
+        # two arms: (a) the production router on the natural-ordered PG
+        # matrix (hybrid DIA + scattered remainder), (b) the raw slab-WELL
+        # kernel on the RCM-banded ordering (no dense diagonals to lean on)
         extra = {}
-        try:
-            Ac = build_pg_mna()
-            W = to_well(CSRMatrix.from_scipy(Ac), dtype=jnp.float32)
-            nw = W.shape[1]
+
+        def measure(Ac, dev):
+            nw = dev.shape[1]
             xw_np = np.zeros(nw, np.float32)
             xw_np[: Ac.shape[0]] = np.random.default_rng(1).standard_normal(
                 Ac.shape[0])
             xw = jnp.asarray(xw_np)
-            yw = jax.jit(lambda v: spmv(W, v))(xw)
+            yw = jax.jit(lambda v: spmv(dev, v))(xw)
             yw_ref = Ac.astype(np.float64) @ xw_np[: Ac.shape[0]].astype(
                 np.float64)
             relw = (np.linalg.norm(np.asarray(yw)[: Ac.shape[0]] - yw_ref)
                     / np.linalg.norm(yw_ref))
-            assert relw < 1e-5, f"WELL SpMV verify failed: rel={relw}"
-            dtw = bench_chain(jax, lambda v: spmv(W, v), xw)
-            extra = {
-                "well_nnz_per_s": Ac.nnz / dtw,
-                "well_vs_baseline": Ac.nnz / dtw / BASELINE_NNZ_PER_S,
-                "well_n": int(Ac.shape[0]),
-                "well_nnz": int(Ac.nnz),
-            }
+            assert relw < 1e-5, f"verify failed: rel={relw}"
+            return bench_chain(jax, lambda v: spmv(dev, v), xw)
+
+        try:
+            from gmres_tpu.ops.spmv import device_matrix
+            from gmres_tpu.ops.well import to_well, to_well_slab
+
+            An = build_pg_mna(rcm=False)
+            Hn = device_matrix(CSRMatrix.from_scipy(An), dtype=jnp.float32)
+            dtn = measure(An, Hn)
+            extra.update({
+                "pg_nnz_per_s": An.nnz / dtn,
+                "pg_vs_baseline": An.nnz / dtn / BASELINE_NNZ_PER_S,
+                "pg_variant": type(Hn).__name__,
+                "pg_n": int(An.shape[0]), "pg_nnz": int(An.nnz),
+            })
         except Exception as e:  # noqa: BLE001 — flagship number still reports
-            extra = {"well_error": f"{type(e).__name__}: {e}"}
+            extra["pg_error"] = f"{type(e).__name__}: {e}"
+        try:
+            Ab = build_pg_mna(rcm=True)
+            W = to_well_slab(CSRMatrix.from_scipy(Ab), dtype=jnp.float32)
+            if W is None:
+                W = to_well(CSRMatrix.from_scipy(Ab), dtype=jnp.float32)
+            dtw = measure(Ab, W)
+            extra.update({
+                "well_nnz_per_s": Ab.nnz / dtw,
+                "well_vs_baseline": Ab.nnz / dtw / BASELINE_NNZ_PER_S,
+                "well_variant": type(W).__name__,
+            })
+        except Exception as e:  # noqa: BLE001
+            extra["well_error"] = f"{type(e).__name__}: {e}"
 
         print(json.dumps({
             "metric": "spmv_nnz_per_s_per_chip",

@@ -32,18 +32,12 @@ def ell_spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
     return y[:n]
 
 
-def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
-    """y = A @ x for DIA. On TPU, routes to the Pallas kernel when the
-    layout qualifies; otherwise ndiag shifted elementwise multiplies.
+def dia_spmv_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """XLA DIA path: ndiag shifted elementwise multiplies.
 
     For each offset d: y[i] += data[d, i] * x[i + d] (in-bounds entries only;
     out-of-range positions hold zero coefficients by construction).
     """
-    if jax.default_backend() == "tpu":
-        from gmres_tpu.ops.pallas_spmv import dia_pallas_supported, dia_spmv_pallas
-
-        if dia_pallas_supported(A) and x.shape[0] == A.shape[0]:
-            return dia_spmv_pallas(A, x)
     n, nc = A.shape
     # Pad x so every shifted read is in bounds: index i + d + maxneg.
     maxneg = max(0, -min(A.offsets)) if A.offsets else 0
@@ -54,6 +48,18 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
         seg = jax.lax.dynamic_slice_in_dim(xp, off + maxneg, n)
         y = y + A.data[d_idx, :] * seg
     return y
+
+
+def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for DIA. On TPU, routes to the Pallas kernel when the
+    layout qualifies (and GMRES_TPU_PALLAS routing allows); otherwise the
+    XLA shifted-adds path."""
+    if jax.default_backend() == "tpu":
+        from gmres_tpu.ops.pallas_spmv import dia_pallas_supported, dia_spmv_pallas
+
+        if dia_pallas_supported(A) and x.shape[0] == A.shape[0]:
+            return dia_spmv_pallas(A, x)
+    return dia_spmv_xla(A, x)
 
 
 def coo_spmv(A: DeviceCOO, x: jax.Array) -> jax.Array:
@@ -126,7 +132,15 @@ def device_matrix(A, dtype=jnp.float32, backend=None, max_diags: int = 96):
             ndiags = max_diags + 1
         if ndiags <= max_diags and n_rows == n_cols:
             return A.to_dia(dtype=dtype, pad_to=1024, max_diags=max_diags)
-        from gmres_tpu.ops.well import to_well
+        from gmres_tpu.ops.well import to_hybrid, to_well, to_well_slab
 
-        return to_well(A, dtype=dtype)
+        # hybrid first: natural-ordered PG grids are a stencil + a few
+        # percent of scattered vias -- the stencil rides the DIA fast path
+        H = to_hybrid(A, dtype=dtype, max_diags=max_diags)
+        if H is not None:
+            return H
+        # v2 slab layout when the matrix fits its envelope (RCM-clustered
+        # footprint); v1 cross-window packing else
+        W = to_well_slab(A, dtype=dtype)
+        return W if W is not None else to_well(A, dtype=dtype)
     return A.to_ell(dtype=dtype)

@@ -47,7 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gmres_tpu.ops.formats import CSRMatrix, round_up
 
-__all__ = ["WellMatrix", "to_well", "well_spmv", "well_spmv_reference"]
+__all__ = ["WellMatrix", "to_well", "well_spmv", "well_spmv_reference",
+           "WellSlabMatrix", "to_well_slab", "well_slab_spmv",
+           "well_slab_spmv_reference"]
 
 _LANES = 128
 _SLOTS = 8
@@ -307,6 +309,295 @@ def well_spmv_reference(A: WellMatrix, x: jax.Array) -> jax.Array:
     return out.reshape(-1)
 
 
+
+# ---------------------------------------------------------------------------
+# WELL v2: x slab + MXU one-hot window select, chunk-group grid
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel spends ~400 cycles per chunk on 8 *dynamic sublane reads*
+# (one per slot-row window) -- Mosaic lowers each as a dynamic vreg select,
+# and they dominate the 0.7 Gnnz/s round-1 number (the useful FMA work is
+# ~8 vector ops). v2 removes every dynamic read from the chunk loop:
+#
+# - RCM clustering means one output band's tiles reference a narrow,
+#   CONTIGUOUS range of x windows: one dynamic (SLAB, 128) slice pulls the
+#   whole footprint ("slab") -- the inspector-executor x-staging idea
+#   (SpMV_inspect.cpp) done in one strided read.
+# - A group's chunk windows are materialized at once on the MXU:
+#   W = onehot(rel_widx) @ slab, a (G*8, SLAB) x (SLAB, 128) matmul.
+# - The grid runs over fixed-size chunk GROUPS (G chunks), statically
+#   unrolled, so every win8 = W[8j:8j+8] is a static slice; per chunk the
+#   remaining work is one lane gather + FMA reduce + a one-hot merge into a
+#   register accumulator. Output blocks are addressed through a scalar-
+#   prefetched group->step map (groups of one step are consecutive; the
+#   first zero-initializes the block) -- so skewed per-step chunk counts
+#   cost no padding, unlike a global max-chunks-per-step layout.
+#
+# Entries outside the slab (long-range vias that defeat RCM) spill to a
+# COO side list applied by XLA scatter-add -- rare by construction.
+
+_GROUP = 16               # chunks per grid group (static unroll length)
+_SLAB_CAP = 512           # max slab windows (512*128*4B = 256 KB VMEM)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "lcols", "widx", "lrow", "gout", "gfirst", "base",
+                 "spill_rows", "spill_cols", "spill_vals"],
+    meta_fields=["shape", "logical_n", "tiles_per_step", "group",
+                 "slab", "steps"],
+)
+@dataclasses.dataclass(frozen=True)
+class WellSlabMatrix:
+    """Chunk-group slab layout (v2 kernel).
+
+    vals/lcols: (ngroups, G, 8, 128); widx: (ngroups, G*8, 1) int32 window
+    indices RELATIVE to the group's slab base; base/gout/gfirst:
+    (ngroups,) int32 (slab base window, output step index, first-group-of-
+    step flag); lrow: (ngroups*G,) int32 tile-in-step of each chunk;
+    spill_*: COO tail (may be empty)."""
+
+    vals: jax.Array
+    lcols: jax.Array
+    widx: jax.Array
+    lrow: jax.Array
+    gout: jax.Array
+    gfirst: jax.Array
+    base: jax.Array
+    spill_rows: jax.Array
+    spill_cols: jax.Array
+    spill_vals: jax.Array
+    shape: Tuple[int, int]
+    logical_n: int
+    tiles_per_step: int
+    group: int
+    slab: int
+    steps: int
+
+    @property
+    def ngroups(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def spill_nnz(self) -> int:
+        return int(self.spill_vals.shape[0])
+
+
+def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
+                 slab_cap: int = _SLAB_CAP, max_spill_frac: float = 0.05,
+                 group: int = _GROUP):
+    """Pack host CSR into the v2 chunk-group slab layout, or None when the
+    matrix doesn't fit (slab wider than ``slab_cap`` with too many spilled
+    entries) -- callers fall back to :func:`to_well`."""
+    W1 = to_well(A, dtype=jnp.float64, tiles_per_step=tiles_per_step)
+    steps, M = W1.steps, W1.chunks_per_step
+    nwin = W1.shape[1] // _LANES
+    vals = np.array(W1.vals)                   # (steps, M, 8, 128), writable
+    lcols = np.array(W1.lcols)
+    widx = np.asarray(W1.widx).reshape(steps, M * _SLOTS)
+    valid = np.asarray(W1.valid).reshape(steps, M)
+    lrow1 = np.asarray(W1.lrow).reshape(steps, M)
+    # real chunks are a contiguous prefix of each step (pack order is by
+    # tile with per-tile contiguous chunk ranges)
+    nchunks = np.maximum(valid.sum(axis=1).astype(np.int64), 1)
+
+    # per-step slab base over real slot-rows
+    real_sr = (vals != 0).any(axis=3).reshape(steps, M * _SLOTS)
+    w_masked = np.where(real_sr, widx, np.iinfo(np.int32).max)
+    sbase = w_masked.min(axis=1)
+    sbase = np.where(sbase == np.iinfo(np.int32).max, 0, sbase)
+    w_hi = np.where(real_sr, widx, -1).max(axis=1)
+    span = np.maximum(w_hi - sbase + 1, 1)
+    slab = min(int(-(-span.max() // 8) * 8), slab_cap)
+    if slab > nwin:
+        slab = nwin
+    if slab <= 0:
+        return None
+    sbase = np.clip(sbase, 0, nwin - slab).astype(np.int32)
+    rel = widx - sbase[:, None]
+    in_slab = real_sr & (rel >= 0) & (rel < slab)
+    spill_sr = real_sr & ~in_slab
+
+    # spill entries -> COO (global rows/cols)
+    if spill_sr.any():
+        sp_rows, sp_cols, sp_vals = [], [], []
+        st_idx, sr_idx = np.nonzero(spill_sr)
+        for s, r in zip(st_idx, sr_idx):
+            m, sub = r // _SLOTS, r % _SLOTS
+            v = vals[s, m, sub]
+            lanes = np.nonzero(v != 0)[0]
+            grow = (s * tiles_per_step + lrow1[s, m]) * _LANES + lanes
+            gcol = widx[s, r] * _LANES + lcols[s, m, sub, lanes]
+            sp_rows.append(grow)
+            sp_cols.append(gcol)
+            sp_vals.append(v[lanes])
+            vals[s, m, sub] = 0.0
+            lcols[s, m, sub] = 0
+        sp_rows = np.concatenate(sp_rows)
+        sp_cols = np.concatenate(sp_cols)
+        sp_vals = np.concatenate(sp_vals)
+        if len(sp_vals) > max_spill_frac * max(A.nnz, 1):
+            return None
+    else:
+        sp_rows = np.zeros(0, np.int32)
+        sp_cols = np.zeros(0, np.int32)
+        sp_vals = np.zeros(0, np.float64)
+    rel = np.where(in_slab, rel, 0).astype(np.int32)
+    rel3 = rel.reshape(steps, M, _SLOTS)
+
+    # regroup real chunk prefixes into fixed-size groups (pad last of step)
+    G = group
+    gps = (-(-nchunks // G)).astype(np.int64)   # groups per step
+    ngroups = int(gps.sum())
+    Vg = np.zeros((ngroups, G, _SLOTS, _LANES))
+    Cg = np.zeros((ngroups, G, _SLOTS, _LANES), dtype=np.int32)
+    Wg = np.zeros((ngroups, G * _SLOTS, 1), dtype=np.int32)
+    Lg = np.zeros(ngroups * G, dtype=np.int32)
+    gout = np.zeros(ngroups, dtype=np.int32)
+    gfirst = np.zeros(ngroups, dtype=np.int32)
+    gbase = np.zeros(ngroups, dtype=np.int32)
+    gi = 0
+    for s in range(steps):
+        for k in range(int(gps[s])):
+            lo = k * G
+            hi = min(lo + G, int(nchunks[s]))
+            cnt = hi - lo
+            Vg[gi, :cnt] = vals[s, lo:hi]
+            Cg[gi, :cnt] = lcols[s, lo:hi]
+            Wg[gi, : cnt * _SLOTS, 0] = rel3[s, lo:hi].reshape(-1)
+            Lg[gi * G: gi * G + cnt] = lrow1[s, lo:hi]
+            gout[gi] = s
+            gfirst[gi] = 1 if k == 0 else 0
+            gbase[gi] = sbase[s]
+            gi += 1
+    assert gi == ngroups
+
+    return WellSlabMatrix(
+        vals=jnp.asarray(Vg, dtype=dtype),
+        lcols=jnp.asarray(Cg),
+        widx=jnp.asarray(Wg),
+        lrow=jnp.asarray(Lg),
+        gout=jnp.asarray(gout),
+        gfirst=jnp.asarray(gfirst),
+        base=jnp.asarray(gbase),
+        spill_rows=jnp.asarray(sp_rows.astype(np.int32)),
+        spill_cols=jnp.asarray(sp_cols.astype(np.int32)),
+        spill_vals=jnp.asarray(sp_vals, dtype=dtype),
+        shape=W1.shape,
+        logical_n=W1.logical_n,
+        tiles_per_step=tiles_per_step,
+        group=G,
+        slab=slab,
+        steps=steps,
+    )
+
+
+def _well_slab_kernel(G, tps, slab, gout_ref, gfirst_ref, base_ref, lr_ref,
+                      x_ref, widx_ref, vals_ref, cols_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(gfirst_ref[i] == 1)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xslab = x_ref[pl.ds(base_ref[i], slab), :]              # (slab, 128)
+    # one-hot select is exact in any dtype (0/1 coefficients); f32 on the
+    # MXU for device dtypes, full precision when interpreting f64 oracles
+    acc_dt = (jnp.float32 if out_ref.dtype in (jnp.float32, jnp.bfloat16)
+              else out_ref.dtype)
+    sel = (widx_ref[0] == lax.broadcasted_iota(
+        jnp.int32, (G * _SLOTS, slab), 1)).astype(acc_dt)
+    W = lax.dot_general(
+        sel, xslab.astype(acc_dt),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dt,
+    ).astype(out_ref.dtype)                                  # (G*8, 128)
+    tile_iota = lax.broadcasted_iota(jnp.int32, (tps, 1), 0)
+    acc = jnp.zeros((tps, _LANES), out_ref.dtype)
+    for j in range(G):                                       # static unroll
+        # per chunk: lane gather + FMA reduce + one-hot row merge into the
+        # register accumulator (no dynamic-sublane reads or writes in the
+        # loop). Padding chunks carry vals == 0 and merge exact zeros --
+        # cheaper than a branch in Mosaic.
+        win8 = W[j * _SLOTS:(j + 1) * _SLOTS, :]
+        g = _lane_gather(win8, cols_ref[0, j])
+        contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
+        onehot = (tile_iota == lr_ref[i * G + j]).astype(out_ref.dtype)
+        acc = acc + onehot * contrib
+    out_ref[:] += acc
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def well_slab_spmv(A: WellSlabMatrix, x: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """y = A @ x for the v2 layout (+ XLA scatter-add spill tail)."""
+    if x.shape[0] != A.shape[1]:
+        raise ValueError(f"x length {x.shape[0]} != padded cols {A.shape[1]}")
+    G, tps = A.group, A.tiles_per_step
+    ntiles_pad = A.steps * tps
+    x2d = x.reshape(A.shape[1] // _LANES, _LANES)
+    kern = partial(_well_slab_kernel, G, tps, A.slab)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(A.ngroups,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+                pl.BlockSpec(
+                    (1, G * _SLOTS, 1), lambda i, *sc: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, G, _SLOTS, _LANES), lambda i, *sc: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, G, _SLOTS, _LANES), lambda i, *sc: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                # groups of one step are consecutive: the block stays in
+                # VMEM across them and flushes when gout advances
+                (tps, _LANES), lambda i, gout, *sc: (gout[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntiles_pad, _LANES), x.dtype),
+        interpret=interpret,
+    )(A.gout, A.gfirst, A.base, A.lrow, x2d, A.widx, A.vals, A.lcols)
+    y = out.reshape(ntiles_pad * _LANES)
+    if A.spill_nnz:
+        contrib = A.spill_vals * jnp.take(x, A.spill_cols)
+        y = y.at[A.spill_rows].add(contrib)
+    return y
+
+
+def well_slab_spmv_reference(A: WellSlabMatrix, x: jax.Array) -> jax.Array:
+    """Pure-jnp executor with identical semantics (CPU/debug oracle)."""
+    x2d = x.reshape(A.shape[1] // _LANES, _LANES)
+    ng, G, tps = A.ngroups, A.group, A.tiles_per_step
+    gw = A.widx.reshape(ng, G, _SLOTS) + A.base[:, None, None]
+    win = jnp.take(x2d, gw, axis=0)                         # (ng, G, 8, 128)
+    g = jnp.take_along_axis(win, A.lcols, axis=3)
+    contrib = jnp.sum(A.vals * g, axis=2)                   # (ng, G, 128)
+    out = jnp.zeros((A.steps * tps, _LANES), dtype=x.dtype)
+    rows = (A.gout[:, None] * tps + A.lrow.reshape(ng, G))
+    out = out.at[rows.reshape(-1)].add(
+        contrib.reshape(ng * G, _LANES), mode="drop"
+    )
+    y = out.reshape(-1)
+    if A.spill_nnz:
+        contrib = A.spill_vals * jnp.take(x, A.spill_cols)
+        y = y.at[A.spill_rows].add(contrib)
+    return y
+
+
 # dispatch registration (spmv does not import well at module level, so no
 # circular import)
 from gmres_tpu.ops.spmv import spmv as _spmv_dispatch  # noqa: E402
@@ -330,3 +621,94 @@ def _well_spmv_dispatch(A, x):
             and A.vals.dtype in (jnp.float32, jnp.bfloat16)):
         return well_spmv(A, x)
     return well_spmv_reference(A, x)
+
+
+@_spmv_dispatch.register(WellSlabMatrix)
+def _well_slab_spmv_dispatch(A, x):
+    if (jax.default_backend() == "tpu" and _well_pallas_enabled()
+            and A.vals.dtype in (jnp.float32, jnp.bfloat16)):
+        return well_slab_spmv(A, x)
+    return well_slab_spmv_reference(A, x)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid DIA + WELL: dense diagonals on the stencil fast path, scattered
+# remainder (vias, pads) through the slab kernel
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dia", "rest"],
+    meta_fields=["shape", "logical_n"],
+)
+@dataclasses.dataclass(frozen=True)
+class HybridMatrix:
+    """A = DIA(dense diagonals) + rest. Power-grid matrices in their natural
+    node ordering are a near-perfect stencil (the grid segments) plus a few
+    percent of scattered entries (via arrays, pad connections): the stencil
+    part runs at shifted-multiply speed (ops/spmv.py dia_spmv, the 40 Gnnz/s
+    path) and only the remainder pays gather cost. The HYB(ELL+COO) idea of
+    the GPU literature, realized TPU-style. ``rest`` is a WellSlabMatrix /
+    WellMatrix / DeviceCOO; both parts share one padded size."""
+
+    dia: object
+    rest: object
+    shape: Tuple[int, int]
+    logical_n: int
+
+    @property
+    def dtype(self):
+        return self.dia.data.dtype
+
+
+def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
+              max_diags: int = 96, min_coverage: float = 0.5,
+              tiles_per_step: int = 16):
+    """Split CSR into dense diagonals (DIA) + remainder, or None when the
+    dense diagonals cover less than ``min_coverage`` of the nnz."""
+    import scipy.sparse as sp
+
+    n, nc = A.shape
+    if n != nc or A.nnz == 0:
+        return None
+    lengths = A.row_lengths()
+    rows = np.repeat(np.arange(n), lengths).astype(np.int64)
+    offs = A.indices.astype(np.int64) - rows
+    diag, counts = np.unique(offs, return_counts=True)
+    dense = diag[counts >= min_density * n]
+    if dense.size == 0 or dense.size > max_diags:
+        # keep the max_diags densest if over the cap
+        order = np.argsort(-counts)
+        dense = diag[order[:max_diags]]
+        dense = dense[counts[order[:max_diags]] >= min_density * n]
+        if dense.size == 0:
+            return None
+    cov = counts[np.isin(diag, dense)].sum() / A.nnz
+    if cov < min_coverage:
+        return None
+    N = round_up(n, tiles_per_step * _LANES)
+    on_dia = np.isin(offs, dense)
+    cols = A.indices.astype(np.int64)
+    Sd = sp.coo_matrix(
+        (A.data[on_dia], (rows[on_dia], cols[on_dia])), shape=(n, n)
+    ).tocsr()
+    Sr = sp.coo_matrix(
+        (A.data[~on_dia], (rows[~on_dia], cols[~on_dia])), shape=(N, N)
+    ).tocsr()
+    dia = CSRMatrix.from_scipy(Sd).to_dia(dtype=dtype, pad_to=N,
+                                          max_diags=max_diags)
+    rest_csr = CSRMatrix.from_scipy(Sr)
+    rest = to_well_slab(rest_csr, dtype=dtype, tiles_per_step=tiles_per_step)
+    if rest is None:
+        if rest_csr.nnz * 64 < N:
+            rest = rest_csr.to_device_coo(dtype=dtype)
+        else:
+            rest = to_well(rest_csr, dtype=dtype,
+                           tiles_per_step=tiles_per_step)
+    assert dia.shape[0] == N and rest.shape[0] == N, (dia.shape, rest.shape)
+    return HybridMatrix(dia=dia, rest=rest, shape=(N, N), logical_n=n)
+
+
+@_spmv_dispatch.register(HybridMatrix)
+def _hybrid_spmv_dispatch(A, x):
+    return _spmv_dispatch(A.dia, x) + _spmv_dispatch(A.rest, x)

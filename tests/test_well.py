@@ -6,6 +6,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from gmres_tpu.ops.formats import CSRMatrix
 from gmres_tpu.ops.well import to_well, well_spmv, well_spmv_reference
 
 from conftest import poisson2d, random_sparse
@@ -104,3 +105,134 @@ def test_spmv_dispatch_well():
     xp = jnp.asarray(_pad_x(x, W.shape[1]))
     y = np.asarray(spmv(W, xp))[:200]
     assert np.allclose(y, A.matvec(x), atol=1e-12)
+
+
+def _banded_pg(n=4000, seed=0, extra=()):
+    """RCM-banded PG-like matrix, optionally with long-range via entries."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    nx = int(np.sqrt(n))
+    n = nx * nx
+    rng = np.random.default_rng(seed)
+    i = np.arange(n)
+    right = i[(i % nx) < nx - 1]
+    down = i[i < n - nx]
+    rows = np.concatenate([right, down])
+    cols = np.concatenate([right + 1, down + nx])
+    g = rng.uniform(0.5, 2.0, rows.shape[0])
+    G = sp.coo_matrix((-g, (rows, cols)), shape=(n, n))
+    G = (G + G.T).tolil()
+    for (a, b, v) in extra:
+        G[a % n, b % n] = v
+    G = G.tocsr()
+    d = -np.asarray(G.sum(axis=1)).ravel() + 1e-3
+    A = (G + sp.diags(d)).tocsr()
+    p = reverse_cuthill_mckee(A, symmetric_mode=True)
+    return A[p][:, p].tocsr()
+
+
+def test_well_slab_matches_oracle():
+    from gmres_tpu.ops.well import (to_well_slab, well_slab_spmv,
+                                    well_slab_spmv_reference)
+
+    A = _banded_pg()
+    W = to_well_slab(CSRMatrix.from_scipy(A), dtype=jnp.float64)
+    assert W is not None, "banded PG matrix must fit the slab envelope"
+    assert W.spill_nnz == 0
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(W.shape[1])
+    y_ref = A.astype(np.float64) @ x[: A.shape[0]]
+    y1 = np.asarray(well_slab_spmv_reference(W, jnp.asarray(x)))
+    assert np.abs(y1[: A.shape[0]] - y_ref).max() < 1e-10
+    y2 = np.asarray(well_slab_spmv(W, jnp.asarray(x), interpret=True))
+    assert np.abs(y2[: A.shape[0]] - y_ref).max() < 1e-10
+
+
+def test_well_slab_spill_path():
+    """Long-range vias that defeat the slab window go through the COO
+    spill tail; results stay exact."""
+    from gmres_tpu.ops.well import (to_well_slab, well_slab_spmv,
+                                    well_slab_spmv_reference)
+
+    rng = np.random.default_rng(2)
+    extra = [(int(a), int(a) + 2000, 1.5)
+             for a in rng.integers(0, 1500, 10)]
+    A = _banded_pg(extra=extra)
+    W = to_well_slab(CSRMatrix.from_scipy(A), dtype=jnp.float64, slab_cap=16)
+    assert W is not None
+    assert W.spill_nnz > 0
+    x = rng.standard_normal(W.shape[1])
+    y_ref = A.astype(np.float64) @ x[: A.shape[0]]
+    y1 = np.asarray(well_slab_spmv_reference(W, jnp.asarray(x)))
+    assert np.abs(y1[: A.shape[0]] - y_ref).max() < 1e-10
+    y2 = np.asarray(well_slab_spmv(W, jnp.asarray(x), interpret=True))
+    assert np.abs(y2[: A.shape[0]] - y_ref).max() < 1e-10
+
+
+def test_well_slab_unbanded_small():
+    """Unbanded but small: the whole x fits one slab, so v2 still applies
+    (the chunk-group grid has no per-step chunk-count cap)."""
+    from gmres_tpu.ops.well import to_well_slab, well_slab_spmv
+
+    A = random_sparse(3000, 0.003, seed=0)
+    W = to_well_slab(CSRMatrix.from_scipy(A.to_scipy()), dtype=jnp.float64)
+    assert W is not None and W.slab == W.shape[1] // 128
+    x = np.random.default_rng(3).standard_normal(W.shape[1])
+    y_ref = A.to_scipy().astype(np.float64) @ x[:3000]
+    y = np.asarray(well_slab_spmv(W, jnp.asarray(x), interpret=True))
+    assert np.abs(y[:3000] - y_ref).max() < 1e-10
+
+
+def test_well_slab_bails_on_wide_spill():
+    """A matrix whose footprint exceeds the slab cap with heavy long-range
+    coupling must fall back to v1 (None)."""
+    from gmres_tpu.ops.well import to_well_slab
+
+    A = random_sparse(3000, 0.003, seed=0)
+    W = to_well_slab(CSRMatrix.from_scipy(A.to_scipy()), slab_cap=8,
+                     max_spill_frac=0.01)
+    assert W is None
+
+
+def test_hybrid_dia_plus_spill():
+    """Natural-ordering PG grid + vias: dense diagonals ride DIA, vias go
+    through the slab/COO remainder; exact vs SciPy."""
+    import scipy.sparse as sp
+
+    from gmres_tpu.ops.spmv import spmv
+    from gmres_tpu.ops.well import HybridMatrix, to_hybrid
+
+    rng = np.random.default_rng(4)
+    nx = 60
+    n = nx * nx
+    i = np.arange(n)
+    right = i[(i % nx) < nx - 1]
+    down = i[i < n - nx]
+    rows = np.concatenate([right, down])
+    cols = np.concatenate([right + 1, down + nx])
+    keep = rng.random(rows.shape[0]) > 0.08
+    rows, cols = rows[keep], cols[keep]
+    vr = rng.integers(0, n, n // 50)
+    vc = (vr + rng.integers(nx * 3, nx * 20, n // 50)) % n
+    rows = np.concatenate([rows, vr])
+    cols = np.concatenate([cols, vc])
+    g = rng.uniform(0.5, 2.0, rows.shape[0])
+    G = sp.coo_matrix((-g, (rows, cols)), shape=(n, n))
+    G = G + G.T
+    A = (G + sp.diags(-np.asarray(G.sum(axis=1)).ravel() + 1e-3)).tocsr()
+
+    H = to_hybrid(CSRMatrix.from_scipy(A), dtype=jnp.float64)
+    assert isinstance(H, HybridMatrix)
+    assert len(H.dia.offsets) <= 8          # stencil diagonals only
+    x = np.random.default_rng(5).standard_normal(H.shape[1])
+    y = np.asarray(spmv(H, jnp.asarray(x)))[:n]
+    y_ref = A.astype(np.float64) @ x[:n]
+    assert np.abs(y - y_ref).max() < 1e-10
+
+
+def test_hybrid_rejects_scattered():
+    from gmres_tpu.ops.well import to_hybrid
+
+    A = random_sparse(2000, 0.005, seed=1)
+    assert to_hybrid(CSRMatrix.from_scipy(A.to_scipy())) is None
