@@ -110,19 +110,60 @@ class HaloShardedOp:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["ell"],
+    meta_fields=["axis"],
+)
+@dataclasses.dataclass(frozen=True)
+class LocalShardedOp:
+    """y_local = A_block @ x_local for a block-diagonal operator whose
+    blocks align with the row shards: ``ell`` columns are LOCAL to the
+    shard, so the apply is pure compute — zero collectives. This is what
+    block-Jacobi AINV (ainv(block_size=rows_per_dev)) shards into."""
+
+    ell: EllMatrix  # local rows, columns in local coordinates
+    axis: str
+
+    def __call__(self, x_local: jax.Array) -> jax.Array:
+        xg = jnp.take(x_local, self.ell.cols, axis=0)
+        return jnp.sum(self.ell.data * xg, axis=1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["Z", "Wt", "inv_d"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class DistAinvPrecond:
-    """Row-sharded AINV apply: two gather-SpMVs + local diagonal scale."""
+    """Row-sharded AINV apply: two SpMVs + local diagonal scale. The SpMVs
+    are comm-free LocalShardedOps when Z/W^T are shard-block-diagonal,
+    gather-SpMVs otherwise."""
 
-    Z: RowShardedOp
-    Wt: RowShardedOp
+    Z: object
+    Wt: object
     inv_d: jax.Array  # local slice
 
     def __call__(self, v: jax.Array) -> jax.Array:
         return self.Z(self.inv_d * self.Wt(v))
+
+
+def _try_local_op(E: EllMatrix, part: RowPartition, axis: str):
+    """Return a comm-free LocalShardedOp when every nonzero of E sits in
+    its own shard's column block (block-diagonal w.r.t. the partition)."""
+    data = np.asarray(E.data)
+    cols = np.asarray(E.cols).astype(np.int64)
+    rpd = part.rows_per_dev
+    shard = (np.arange(data.shape[0]) // rpd)[:, None]
+    real = data != 0
+    rel = cols - shard * rpd
+    if real.any() and ((rel < 0) | (rel >= rpd))[real].any():
+        return None
+    local = np.where(real, rel, 0).astype(np.int32)
+    return LocalShardedOp(
+        ell=EllMatrix(data=E.data, cols=jnp.asarray(local),
+                      shape=(data.shape[0], rpd)),
+        axis=axis,
+    )
 
 
 def _pack_rows(data, cols, keep, min_k=1):
@@ -207,11 +248,12 @@ def _distribute_precond(M, part: RowPartition, axis: str, dtype):
     if isinstance(M, AinvPrecond):
         invd = np.zeros(part.n_padded, dtype=np.asarray(M.inv_d).dtype)
         invd[: part.n] = np.asarray(M.inv_d)
-        return DistAinvPrecond(
-            Z=RowShardedOp(_pad_ell_rows(M.Z, part.n_padded), axis),
-            Wt=RowShardedOp(_pad_ell_rows(M.Wt, part.n_padded), axis),
-            inv_d=jnp.asarray(invd),
-        )
+        Zp = _pad_ell_rows(M.Z, part.n_padded)
+        Wp = _pad_ell_rows(M.Wt, part.n_padded)
+        # block-Jacobi AINV aligned to the partition: comm-free apply
+        Zop = _try_local_op(Zp, part, axis) or RowShardedOp(Zp, axis)
+        Wop = _try_local_op(Wp, part, axis) or RowShardedOp(Wp, axis)
+        return DistAinvPrecond(Z=Zop, Wt=Wop, inv_d=jnp.asarray(invd))
     raise TypeError(
         f"preconditioner {type(M).__name__} has no distributed form; use "
         "jacobi or ainv (ILU solves are serial across shards by nature)"
@@ -251,13 +293,34 @@ class DistGmresSolver:
         self.Aop = None
         if comm == "halo":
             self.Aop = build_halo_op(ell, self.part, axis)
+            if self.Aop is None and ndev > 1:
+                import warnings
+
+                # a shard's column footprint exceeds its neighbors' rows —
+                # O(band) ppermute impossible; every SpMV pays an O(n)
+                # all_gather. Usually means the matrix was not RCM-ordered
+                # (reorder=False) or genuinely has global coupling.
+                warnings.warn(
+                    "halo comm requested but the matrix bandwidth exceeds "
+                    f"one shard ({self.part.rows_per_dev} rows/device x "
+                    f"{ndev}); falling back to all_gather SpMV (O(n) "
+                    "comms/iteration). RCM-order the matrix or use fewer "
+                    "shards.",
+                    stacklevel=2,
+                )
         if self.Aop is None:
             self.Aop = RowShardedOp(ell, axis)
         self.comm = type(self.Aop).__name__
         if isinstance(precond, str):
             from gmres_tpu.precond import make_preconditioner
 
-            M = make_preconditioner(precond, Ap, dtype=dtype)
+            kw = {}
+            if precond == "ainv":
+                # align the block-Jacobi AINV blocks with the row shards:
+                # Z/W^T become shard-block-diagonal and the distributed
+                # M-apply needs no collectives at all (LocalShardedOp)
+                kw["block_size"] = self.part.rows_per_dev
+            M = make_preconditioner(precond, Ap, dtype=dtype, **kw)
         else:
             M = precond
         self.Ml = _distribute_precond(M, self.part, axis, dtype)

@@ -171,3 +171,23 @@ def test_halo_fallback_when_band_too_wide():
     b = np.random.default_rng(0).standard_normal(64)
     r = s.solve(b)
     assert bool(r.converged)
+
+
+def test_block_aligned_ainv_is_comm_free():
+    """DistGmresSolver('ainv') aligns block-Jacobi AINV blocks with the row
+    shards, so the preconditioner apply needs zero collectives."""
+    from gmres_tpu.parallel.dist_gmres import (DistAinvPrecond,
+                                               LocalShardedOp)
+
+    A = poisson2d(16)  # 256 rows -> 64/shard
+    b = np.random.default_rng(4).standard_normal(256)
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    s = DistGmresSolver(A, mesh, precond="ainv", dtype=jnp.float64,
+                        restart=30, tol=1e-9, maxiter=3000)
+    assert isinstance(s.Ml, DistAinvPrecond)
+    assert isinstance(s.Ml.Z, LocalShardedOp)
+    assert isinstance(s.Ml.Wt, LocalShardedOp)
+    res = s.solve(b)
+    assert bool(res.converged)
+    r = b - A.matvec(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
