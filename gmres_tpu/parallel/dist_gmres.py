@@ -225,6 +225,108 @@ def build_halo_op(ell: EllMatrix, part: RowPartition, axis: str):
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lsolve", "usolve"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class DistBlockIluPrecond:
+    """Block-Jacobi ILU: each shard factors its own diagonal block and
+    applies level-scheduled L/U solves LOCALLY — zero collectives, the
+    distributed counterpart of MyILU0/MyILUK (preconditioner.h:119-178).
+    ``lsolve``/``usolve`` are LevelTriSolve pytrees whose array fields carry
+    a leading shard axis (sharded over "rows" by row_specs); inside
+    shard_map each shard sees its own [0]-slice."""
+
+    lsolve: object
+    usolve: object
+
+    @staticmethod
+    def _local(ts):
+        from gmres_tpu.precond.trisolve import LevelTriSolve
+
+        return LevelTriSolve(
+            ell_data=ts.ell_data[0], ell_cols=ts.ell_cols[0],
+            inv_diag=ts.inv_diag[0], level_rows=ts.level_rows[0],
+            n=ts.n, num_levels=ts.num_levels,
+        )
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return self._local(self.usolve)(self._local(self.lsolve)(v))
+
+
+def _stack_trisolves(solvers):
+    """Stack per-shard LevelTriSolve objects into one with a leading shard
+    axis, padding ragged fields (fill slots -> col 0 / val 0; level rows ->
+    the n sentinel dropped on scatter; short level schedules -> all-sentinel
+    levels that no-op)."""
+    from gmres_tpu.precond.trisolve import LevelTriSolve
+
+    n = solvers[0].n
+    Kmax = max(int(s.ell_data.shape[1]) for s in solvers)
+    Rmax = max(int(s.ell_data.shape[0]) for s in solvers)
+    Lmax = max(int(s.level_rows.shape[0]) for s in solvers)
+    Wmax = max(int(s.level_rows.shape[1]) for s in solvers)
+    data, cols, inv, lev = [], [], [], []
+    for s in solvers:
+        d = np.zeros((Rmax, Kmax), np.asarray(s.ell_data).dtype)
+        c = np.zeros((Rmax, Kmax), np.int32)
+        R, K = s.ell_data.shape
+        d[:R, :K] = np.asarray(s.ell_data)
+        c[:R, :K] = np.asarray(s.ell_cols)
+        lv = np.full((Lmax, Wmax), n, np.int32)
+        L, W = s.level_rows.shape
+        lv[:L, :W] = np.asarray(s.level_rows)
+        data.append(d)
+        cols.append(c)
+        inv.append(np.asarray(s.inv_diag))
+        lev.append(lv)
+    return LevelTriSolve(
+        ell_data=jnp.asarray(np.stack(data)),
+        ell_cols=jnp.asarray(np.stack(cols)),
+        inv_diag=jnp.asarray(np.stack(inv)),
+        level_rows=jnp.asarray(np.stack(lev)),
+        n=n,
+        num_levels=Lmax,
+    )
+
+
+def _build_block_ilu(Ap: CSRMatrix, part: RowPartition, dtype,
+                     fill_level: int = 0):
+    """Per-shard ILU(fill) of the diagonal blocks of the permuted matrix;
+    empty padding rows get a unit diagonal."""
+    import scipy.sparse as sp
+
+    from gmres_tpu.precond.ilu import ilu0_factor, iluk_factor
+    from gmres_tpu.precond.trisolve import tri_solve_levels
+
+    rpd, ndev = part.rows_per_dev, part.ndev
+    S = Ap.to_scipy().tocsr()
+    n = S.shape[0]
+    if n < part.n_padded:
+        S = sp.block_diag(
+            [S, sp.eye(part.n_padded - n, format="csr")], format="csr"
+        )
+    ls, us = [], []
+    for k in range(ndev):
+        blk = S[k * rpd:(k + 1) * rpd, k * rpd:(k + 1) * rpd].tocsr()
+        d = blk.diagonal()
+        if np.any(d == 0):
+            # structurally empty rows inside a block: unit-diagonal them so
+            # the factorization stays nonsingular
+            fix = sp.diags((d == 0).astype(np.float64))
+            blk = (blk + fix).tocsr()
+        B = CSRMatrix.from_scipy(blk)
+        L, U = (ilu0_factor(B) if fill_level == 0
+                else iluk_factor(B, fill_level))
+        ls.append(tri_solve_levels(L, lower=True, dtype=dtype,
+                                   unit_diag=True))
+        us.append(tri_solve_levels(U, lower=False, dtype=dtype))
+    return DistBlockIluPrecond(lsolve=_stack_trisolves(ls),
+                               usolve=_stack_trisolves(us))
+
+
 def _pad_ell_rows(E: EllMatrix, n_padded: int) -> EllMatrix:
     r, k = E.data.shape
     if r < n_padded:
@@ -311,19 +413,29 @@ class DistGmresSolver:
         if self.Aop is None:
             self.Aop = RowShardedOp(ell, axis)
         self.comm = type(self.Aop).__name__
-        if isinstance(precond, str):
-            from gmres_tpu.precond import make_preconditioner
-
-            kw = {}
-            if precond == "ainv":
-                # align the block-Jacobi AINV blocks with the row shards:
-                # Z/W^T become shard-block-diagonal and the distributed
-                # M-apply needs no collectives at all (LocalShardedOp)
-                kw["block_size"] = self.part.rows_per_dev
-            M = make_preconditioner(precond, Ap, dtype=dtype, **kw)
+        if isinstance(precond, str) and precond in ("ilu0", "iluk",
+                                                    "block_ilu"):
+            # block-Jacobi ILU: per-shard factorization of the diagonal
+            # block, comm-free level-scheduled apply (MyILU0/MyILUK's
+            # distributed counterpart)
+            self.Ml = _build_block_ilu(
+                Ap, self.part, dtype,
+                fill_level=0 if precond == "ilu0" else 1,
+            )
         else:
-            M = precond
-        self.Ml = _distribute_precond(M, self.part, axis, dtype)
+            if isinstance(precond, str):
+                from gmres_tpu.precond import make_preconditioner
+
+                kw = {}
+                if precond == "ainv":
+                    # align the block-Jacobi AINV blocks with the row
+                    # shards: Z/W^T become shard-block-diagonal and the
+                    # distributed M-apply needs no collectives at all
+                    kw["block_size"] = self.part.rows_per_dev
+                M = make_preconditioner(precond, Ap, dtype=dtype, **kw)
+            else:
+                M = precond
+            self.Ml = _distribute_precond(M, self.part, axis, dtype)
 
         vec_spec = P(axis)
         rep = P()
