@@ -9,7 +9,8 @@ Flag surface mirrors etbr_cmd_short.cpp:91-167:
   -tpu         device engines (accepted alias: -gpu)
   -single/-double   f32 / f64 iteration
   -gmres       iterative full-MNA engine (else direct LU)
-  -precond P   none|diag|ilu0|iluk|ainv (default ainv; reference -ilu/-cd)
+  -precond P   none|diag|ilu0|iluk|ainv|ilutp (default ainv; ilutp =
+               the ILU++/ILUCDP pivoting class, reference -ilu)
   -ir          IR-drop report
   -dc          DC solve only
 Dispatch mirrors the reference matrix at etbr_cmd_short.cpp:248-383.
@@ -32,6 +33,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("netlist")
     ap.add_argument("-fast", action="store_true", help="ETBR reduced simulation")
     ap.add_argument("-nq", type=int, default=20, help="reduced order q")
+    ap.add_argument("-fftn", type=int, default=1024,
+                    help="ETBR source-spectra FFT length (raise to cover "
+                         "transients longer than 1024 steps; etbr2.cpp "
+                         "hardcodes 1024)")
     ap.add_argument("-ec", action="store_true", help="error-controlled mixed stepping")
     ap.add_argument("-th", type=float, default=0.05, help="error/IR threshold")
     ap.add_argument("-mt", type=int, default=0, metavar="N", help="threaded sample solves")
@@ -45,7 +50,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-double", dest="single", action="store_false")
     ap.add_argument("-gmres", action="store_true", help="iterative full-MNA engine")
     ap.add_argument("-precond", default="ainv",
-                    choices=["none", "diag", "jacobi", "ilu0", "iluk", "ainv"])
+                    choices=["none", "diag", "jacobi", "ilu0", "iluk",
+                             "ainv", "ilutp"])
     ap.add_argument("-ir", action="store_true", help="IR-drop analysis")
     ap.add_argument("-dc", action="store_true", help="DC operating point only")
     ap.add_argument("-refine", action="store_true",
@@ -119,7 +125,7 @@ def main(argv=None) -> int:
             model = etbr_reduce(
                 mna, q=args.nq, workers=args.mt,
                 method="gmres" if (args.device and args.gmres) else "lu",
-                nparts=args.nparts, out_of_core=args.ooc,
+                nparts=args.nparts, out_of_core=args.ooc, fft_n=args.fftn,
             )
         print(f"* reduced order q={model.q}, "
               f"sigma1={model.sigma[0]:.3e}, "
@@ -144,7 +150,9 @@ def main(argv=None) -> int:
                       f"mean {float(it.mean()):.1f}/step, "
                       f"converged={res.stats['converged']}")
             else:
-                res = transient_direct(mna)
+                # -tpu: the device-resident direct-LU engine
+                # (wrapperGPUforPG.cu:17 equivalent)
+                res = transient_direct(mna, device=args.device, dtype=dtype)
 
     names = mna.port_names or [f"n{i}" for i in
                                (mna.ports if mna.ports.size else range(0))]
