@@ -288,8 +288,24 @@ def ilutp(A: CSRMatrix, drop_tol: float = 1e-4, fill_factor: float = 10.0,
 
     from gmres_tpu.ops.formats import CSRMatrix as _CSR
 
-    ilu = spla.spilu(A.to_scipy().tocsc(), drop_tol=drop_tol,
-                     fill_factor=fill_factor)
+    # aggressive dropping can produce an exactly singular incomplete factor
+    # (observed on transformed MNA at drop_tol=1e-4): retry tighter, like
+    # ILU++'s own threshold backoff (mna_solve_gpu_gmres.cpp:316-344 tunes
+    # threshold/MEM_FACTOR until the factorization succeeds)
+    S = A.to_scipy().tocsc()
+    ilu = None
+    err = None
+    for k in range(3):
+        try:
+            ilu = spla.spilu(S, drop_tol=drop_tol * 0.1 ** k,
+                             fill_factor=fill_factor * 2 ** k)
+            break
+        except RuntimeError as e:  # "Factor is exactly singular"
+            err = e
+    if ilu is None:
+        raise RuntimeError(
+            f"ILUTP factorization singular down to drop_tol="
+            f"{drop_tol * 0.01}: {err}")
     L = _CSR.from_scipy(ilu.L.tocsr())
     U = _CSR.from_scipy(ilu.U.tocsr())
     if mode == "levels":
