@@ -94,6 +94,10 @@ def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMa
     ntiles = n_pad // _LANES
     ntiles_pad = round_up(ntiles, tiles_per_step)
     steps = ntiles_pad // tiles_per_step
+    if n == ncols:
+        # square operators must stay square under lax loops (GMRES chains
+        # y back into x): pad columns up to the row tile grid too
+        ncols_pad = max(ncols_pad, ntiles_pad * _LANES)
 
     lengths = np.diff(A.indptr)
     rows = np.repeat(np.arange(n), lengths)
@@ -505,8 +509,11 @@ def _well_slab_kernel(G, tps, slab, gout_ref, gfirst_ref, base_ref, lr_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     xslab = x_ref[pl.ds(base_ref[i], slab), :]              # (slab, 128)
-    # one-hot select is exact in any dtype (0/1 coefficients); f32 on the
-    # MXU for device dtypes, full precision when interpreting f64 oracles
+    # The one-hot operand is exact in bf16 (0/1 coefficients) but the x
+    # operand is NOT: at default TPU matmul precision the MXU truncates
+    # f32 inputs to bf16, costing ~2e-3 relative error in x (caught by the
+    # bench verify on real hardware). Mosaic has no per-operand precision,
+    # so both sides take the multi-pass split (exact for f32).
     acc_dt = (jnp.float32 if out_ref.dtype in (jnp.float32, jnp.bfloat16)
               else out_ref.dtype)
     sel = (widx_ref[0] == lax.broadcasted_iota(
@@ -514,6 +521,7 @@ def _well_slab_kernel(G, tps, slab, gout_ref, gfirst_ref, base_ref, lr_ref,
     W = lax.dot_general(
         sel, xslab.astype(acc_dt),
         (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
         preferred_element_type=acc_dt,
     ).astype(out_ref.dtype)                                  # (G*8, 128)
     tile_iota = lax.broadcasted_iota(jnp.int32, (tps, 1), 0)
@@ -571,7 +579,9 @@ def well_slab_spmv(A: WellSlabMatrix, x: jax.Array,
         out_shape=jax.ShapeDtypeStruct((ntiles_pad, _LANES), x.dtype),
         interpret=interpret,
     )(A.gout, A.gfirst, A.base, A.lrow, x2d, A.widx, A.vals, A.lcols)
-    y = out.reshape(ntiles_pad * _LANES)
+    # the step grid may overshoot the padded row count (steps*tps*128 >=
+    # shape[0]); trim so square operators stay square under lax loops
+    y = out.reshape(ntiles_pad * _LANES)[: A.shape[0]]
     if A.spill_nnz:
         contrib = A.spill_vals * jnp.take(x, A.spill_cols)
         y = y.at[A.spill_rows].add(contrib)
@@ -591,7 +601,7 @@ def well_slab_spmv_reference(A: WellSlabMatrix, x: jax.Array) -> jax.Array:
     out = out.at[rows.reshape(-1)].add(
         contrib.reshape(ng * G, _LANES), mode="drop"
     )
-    y = out.reshape(-1)
+    y = out.reshape(-1)[: A.shape[0]]
     if A.spill_nnz:
         contrib = A.spill_vals * jnp.take(x, A.spill_cols)
         y = y.at[A.spill_rows].add(contrib)
@@ -700,7 +710,12 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     rest_csr = CSRMatrix.from_scipy(Sr)
     rest = to_well_slab(rest_csr, dtype=dtype, tiles_per_step=tiles_per_step)
     if rest is None:
-        if rest_csr.nnz * 64 < N:
+        # The hybrid remainder is by construction the scattered part (via
+        # arrays, pad rows) — WELL chunks run near-empty on it (measured
+        # 0.04 Gnnz/s at 8 nnz/chunk vs COO segment-sum's flat ~16 ns/nnz),
+        # so scatter-add COO wins until the remainder is big enough that
+        # chunk occupancy recovers.
+        if rest_csr.nnz <= 65536:
             rest = rest_csr.to_device_coo(dtype=dtype)
         else:
             rest = to_well(rest_csr, dtype=dtype,
