@@ -69,10 +69,15 @@ def _pick_tile(n_pad: int):
 
 
 def pallas_enabled() -> bool:
-    """Pallas kernels are routed opt-in (GMRES_TPU_PALLAS=1): the Mosaic
-    remote-compile service on the tunneled dev backend has wedged for hours
-    at a time (MEASUREMENTS.md incidents), and an unattended solver run must
-    degrade to the XLA path rather than hang."""
+    """DIA routes to XLA by default; the Pallas kernel is opt-in
+    (GMRES_TPU_PALLAS=1). Settled by a 5-run slope-timed A/B on v5e
+    (MEASUREMENTS.md): XLA shifted-multiply 248.9 +/- 6.4 Gnnz/s vs this
+    kernel's 166.6 +/- 1.1 — XLA fuses the 7 shifted multiplies into
+    fewer HBM passes than the kernel's explicit roll loop. (Round 1's
+    apparent 40-vs-16 'variance' was a timing artifact: a ~23 ms fixed
+    per-dispatch tunnel cost amortized over too few chained iterations.)
+    The WELL/slab kernels route Pallas-on by default instead — there XLA's
+    gather fallback loses 20x+ (see ops/well.py)."""
     import os
 
     return os.environ.get("GMRES_TPU_PALLAS", "0") == "1"
