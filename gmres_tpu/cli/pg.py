@@ -60,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
                          "tolerances below the f32 floor")
     ap.add_argument("-tol", type=float, default=1e-7)
     ap.add_argument("-restart", type=int, default=32)
+    ap.add_argument("-chunk", type=int, default=256, metavar="STEPS",
+                    help="dispatch the transient in segments of this many "
+                         "steps (bounds per-dispatch device time; 0 = one "
+                         "program over all steps)")
     ap.add_argument("-o", dest="out", default=None, help="output file basename")
     ap.add_argument("-external", action="store_true",
                     help="UCR_EXTERNAL output format")
@@ -141,9 +145,15 @@ def main(argv=None) -> int:
     else:
         with timers.phase("mna_transient"):
             if args.gmres:
+                def _progress(done, _x, r):
+                    it = np.asarray(r.iterations)
+                    print(f"*   step {done}: mean {it.mean():.1f} GMRES "
+                          f"iters/step over last {it.size}", flush=True)
+
                 res = transient_gmres(
                     mna, precond=args.precond, dtype=dtype, tol=args.tol,
                     restart=args.restart, refine=args.refine,
+                    chunk_steps=args.chunk, on_chunk=_progress,
                 )
                 it = res.stats["iterations"]
                 print(f"* gmres transient: {int(it.sum())} total iterations, "
@@ -152,7 +162,8 @@ def main(argv=None) -> int:
             else:
                 # -tpu: the device-resident direct-LU engine
                 # (wrapperGPUforPG.cu:17 equivalent)
-                res = transient_direct(mna, device=args.device, dtype=dtype)
+                res = transient_direct(mna, device=args.device, dtype=dtype,
+                                       chunk_steps=args.chunk)
 
     names = mna.port_names or [f"n{i}" for i in
                                (mna.ports if mna.ports.size else range(0))]

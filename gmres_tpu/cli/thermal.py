@@ -30,6 +30,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-single", dest="single", action="store_true", default=True)
     ap.add_argument("-double", dest="single", action="store_false")
     ap.add_argument("-steps", type=int, default=0, help="limit time steps")
+    ap.add_argument("-chunk", type=int, default=256, metavar="STEPS",
+                    help="dispatch the transient in segments of this many "
+                         "steps (0 = one program over all steps)")
     ap.add_argument("-o", dest="out", default="xTPU.txt")
     ap.add_argument("-bench-spmv", action="store_true")
     ap.add_argument("-oneshot", action="store_true")
@@ -124,7 +127,7 @@ def main(argv=None) -> int:
             U,
             x0=jnp.zeros((sys_.n,), dtype),
             restart=args.restart, tol=args.tol, maxiter=args.maxiter,
-            M_left=M, dtype=dtype,
+            M_left=M, dtype=dtype, chunk_steps=args.chunk,
         )
         X = np.asarray(res.X)
     it = np.asarray(res.iterations)

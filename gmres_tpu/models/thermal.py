@@ -64,9 +64,9 @@ def _transient_impl(A, Bop, Ch, U, x0, tol, M_left, M_right, ports, hi_ops, *,
         out_x = res.x if keep_trajectory else res.x[ports]
         return res.x, (out_x, res.iterations, res.residual, res.converged)
 
-    _, (X, iters, resid, conv) = lax.scan(step, x0, U)
-    return TransientResult(X=X, iterations=iters, residuals=resid,
-                           converged=conv)
+    xT, (X, iters, resid, conv) = lax.scan(step, x0, U)
+    return xT, TransientResult(X=X, iterations=iters, residuals=resid,
+                               converged=conv)
 
 
 def thermal_transient(
@@ -85,6 +85,8 @@ def thermal_transient(
     ports: Optional[jax.Array] = None,
     dtype=jnp.float32,
     hi_ops=None,
+    chunk_steps: int = 0,
+    on_chunk=None,
 ) -> TransientResult:
     """Run the backward-Euler transient ``A x_{k+1} = B u_k + (C/h) x_k``.
 
@@ -100,6 +102,16 @@ def thermal_transient(
       hi_ops: optional (A_hi, B_hi, Ch_hi) f64 operators for mixed-precision
         iterative refinement: state + rhs in f64, Arnoldi inner loop in
         ``dtype`` (requires x64 mode).
+      chunk_steps: when > 0, dispatch the jitted scan in fixed-size segments
+        of this many steps instead of one program over all steps. One host
+        round-trip per segment (~ms) buys: bounded per-dispatch device time
+        (long single programs trip TPU-runtime watchdogs), progress/
+        checkpoint hooks, and identical numerics (the state is carried
+        exactly). The tail segment is padded by repeating the last input row
+        and its outputs trimmed, so every segment reuses ONE compiled
+        program.
+      on_chunk: optional callback ``(steps_done, x_state, chunk_result)``
+        invoked after each segment (progress bars, checkpointing).
     """
     hi = jnp.float64 if hi_ops is not None else dtype
     U = jnp.asarray(U, dtype=hi)
@@ -114,20 +126,51 @@ def thermal_transient(
     x0 = jnp.asarray(x0, dtype=hi)
     keep_trajectory = ports is None
     ports_arr = jnp.asarray(ports if ports is not None else [0], dtype=jnp.int32)
-    return _transient_impl(
-        as_operator(A),
-        as_operator(B),
-        as_operator(C_over_h),
-        U,
-        x0,
-        tol,
-        as_operator(M_left),
-        as_operator(M_right),
-        ports_arr,
-        tuple(as_operator(o) for o in hi_ops) if hi_ops is not None else None,
-        restart=int(restart),
-        maxiter=int(maxiter),
-        dot_dtype=dot_dtype,
-        keep_trajectory=keep_trajectory,
-        work_dtype=dtype if hi_ops is not None else None,
+
+    def run(U_seg, x_seg):
+        return _transient_impl(
+            as_operator(A),
+            as_operator(B),
+            as_operator(C_over_h),
+            U_seg,
+            x_seg,
+            tol,
+            as_operator(M_left),
+            as_operator(M_right),
+            ports_arr,
+            tuple(as_operator(o) for o in hi_ops) if hi_ops is not None else None,
+            restart=int(restart),
+            maxiter=int(maxiter),
+            dot_dtype=dot_dtype,
+            keep_trajectory=keep_trajectory,
+            work_dtype=dtype if hi_ops is not None else None,
+        )
+
+    steps = U.shape[0]
+    if not chunk_steps or (steps <= chunk_steps and on_chunk is None):
+        _, res = run(U, x0)
+        return res
+
+    cs = int(chunk_steps)
+    nchunks = -(-steps // cs)
+    pad = nchunks * cs - steps
+    if pad:
+        U = jnp.concatenate([U, jnp.repeat(U[-1:], pad, axis=0)], axis=0)
+    x = x0
+    parts = []
+    for c in range(nchunks):
+        x, r = run(lax.slice_in_dim(U, c * cs, (c + 1) * cs, axis=0), x)
+        done = min((c + 1) * cs, steps)
+        if c == nchunks - 1 and pad:
+            r = TransientResult(*(v[: cs - pad] for v in r))
+            # The padded steps polluted the carried state; the trimmed
+            # final state is the last recorded one (only valid without
+            # port slicing — with ports the caller gets outputs only).
+            x = r.X[-1] if keep_trajectory else x
+        parts.append(r)
+        if on_chunk is not None:
+            on_chunk(done, x, r)
+    return TransientResult(
+        *(jnp.concatenate([getattr(p, f) for p in parts], axis=0)
+          for f in TransientResult._fields)
     )

@@ -59,6 +59,7 @@ def transient_direct(
     *,
     device: bool = False,
     dtype=jnp.float32,
+    chunk_steps: int = 0,
 ) -> PgTransientResult:
     """Direct-LU transient (mna_solve.cpp:48-235 semantics).
 
@@ -80,14 +81,28 @@ def transient_direct(
         from gmres_tpu.solvers.direct import DeviceSparseLU
 
         lu_dev = DeviceSparseLU.build(A, dtype=dtype)
-        out = _direct_device_impl(
-            lu_dev,
-            device_operator(mna.B, dtype=dtype),
-            device_operator(Ch, dtype=dtype),
-            jnp.asarray(U, dtype=dtype),
-            jnp.asarray(x, dtype=dtype),
-            jnp.asarray(ports, dtype=jnp.int32),
-        )
+        Bop = device_operator(mna.B, dtype=dtype)
+        Chop = device_operator(Ch, dtype=dtype)
+        Ud = jnp.asarray(U, dtype=dtype)
+        xd = jnp.asarray(x, dtype=dtype)
+        pd = jnp.asarray(ports, dtype=jnp.int32)
+        if chunk_steps and Ud.shape[0] > chunk_steps:
+            cs = int(chunk_steps)
+            outs = []
+            for k0 in range(0, Ud.shape[0], cs):
+                seg = Ud[k0: k0 + cs]
+                if seg.shape[0] < cs:  # pad tail: one compiled program
+                    padn = cs - seg.shape[0]
+                    seg = jnp.concatenate(
+                        [seg, jnp.repeat(seg[-1:], padn, axis=0)], axis=0)
+                    xd, o = _direct_device_impl(lu_dev, Bop, Chop, seg, xd, pd)
+                    o = o[: cs - padn]
+                else:
+                    xd, o = _direct_device_impl(lu_dev, Bop, Chop, seg, xd, pd)
+                outs.append(o)
+            out = jnp.concatenate(outs, axis=0)
+        else:
+            _, out = _direct_device_impl(lu_dev, Bop, Chop, Ud, xd, pd)
         return PgTransientResult(times=times,
                                  port_values=np.asarray(out, np.float64),
                                  dc=dc,
@@ -110,8 +125,7 @@ def _direct_device_impl(lu_dev, Bop, Chop, U, x0, ports):
         xn = lu_dev(Bop(u_t) + Chop(x))
         return xn, xn[ports]
 
-    _, out = lax.scan(step, x0, U)
-    return out
+    return lax.scan(step, x0, U)
 
 
 def transient_gmres(
@@ -128,6 +142,8 @@ def transient_gmres(
     dc_method: str = "direct",
     transform: str = "auto",
     refine: bool = False,
+    chunk_steps: int = 0,
+    on_chunk=None,
 ) -> PgTransientResult:
     """Device transient: per-step tolerance 1e-7 to match the PG tool
     (gmres_interface_pg.cu:7).
@@ -145,6 +161,11 @@ def transient_gmres(
     loop in ``dtype``. Reaches tolerances below the f32 floor (which plain
     f32 stalls at around 1e-6) for one extra f64 SpMV per restart. Requires
     x64 mode (enabled automatically).
+
+    ``chunk_steps``/``on_chunk``: dispatch the time loop in fixed-size
+    segments instead of one device program (see
+    :func:`gmres_tpu.models.thermal.thermal_transient`); bounds
+    per-dispatch device time and enables progress reporting.
     """
     from gmres_tpu.models.dc import dc_solve
     from gmres_tpu.ops.spmv import device_operator
@@ -191,6 +212,7 @@ def transient_gmres(
         restart=restart, tol=tol, maxiter=maxiter, M_left=M, dtype=dtype,
         ports=jnp.asarray(ports_t, dtype=jnp.int32),
         hi_ops=hi_ops,
+        chunk_steps=chunk_steps, on_chunk=on_chunk,
     )
     port_values = np.asarray(res.X, dtype=np.float64)
     if tr is not None:

