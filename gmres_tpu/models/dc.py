@@ -23,7 +23,7 @@ __all__ = ["dc_solve"]
 def dc_solve(
     mna: MnaSystem,
     method: str = "direct",
-    precond: str = "ainv",
+    precond: str = "auto",
     dtype=jnp.float64,
     tol: float = 1e-10,
     restart: int = 50,

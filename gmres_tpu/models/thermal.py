@@ -107,9 +107,9 @@ def thermal_transient(
         round-trip per segment (~ms) buys: bounded per-dispatch device time
         (long single programs trip TPU-runtime watchdogs), progress/
         checkpoint hooks, and identical numerics (the state is carried
-        exactly). The tail segment is padded by repeating the last input row
-        and its outputs trimmed, so every segment reuses ONE compiled
-        program.
+        exactly). Full segments share one compiled program; a shorter tail
+        segment runs unpadded under its own (one-off) compile rather than
+        wasting up to cs-1 padded GMRES solves.
       on_chunk: optional callback ``(steps_done, x_state, chunk_result)``
         invoked after each segment (progress bars, checkpointing).
     """
@@ -147,26 +147,24 @@ def thermal_transient(
         )
 
     steps = U.shape[0]
-    if not chunk_steps or (steps <= chunk_steps and on_chunk is None):
-        _, res = run(U, x0)
+    if not chunk_steps or steps <= chunk_steps:
+        xT, res = run(U, x0)
+        if on_chunk is not None:
+            on_chunk(steps, xT, res)
         return res
 
-    cs = int(chunk_steps)
-    nchunks = -(-steps // cs)
-    pad = nchunks * cs - steps
-    if pad:
-        U = jnp.concatenate([U, jnp.repeat(U[-1:], pad, axis=0)], axis=0)
+    # All full chunks share ONE compiled program; a shorter tail chunk runs
+    # UNPADDED (its own compile — scan compile cost is trip-count-
+    # independent, so one extra compile beats up to cs-1 wasted full GMRES
+    # solves per run) and the carried state stays exact at every step.
+    cs = min(int(chunk_steps), steps)
     x = x0
     parts = []
-    for c in range(nchunks):
-        x, r = run(lax.slice_in_dim(U, c * cs, (c + 1) * cs, axis=0), x)
-        done = min((c + 1) * cs, steps)
-        if c == nchunks - 1 and pad:
-            r = TransientResult(*(v[: cs - pad] for v in r))
-            # The padded steps polluted the carried state; the trimmed
-            # final state is the last recorded one (only valid without
-            # port slicing — with ports the caller gets outputs only).
-            x = r.X[-1] if keep_trajectory else x
+    done = 0
+    while done < steps:
+        take = min(cs, steps - done)
+        x, r = run(lax.slice_in_dim(U, done, done + take, axis=0), x)
+        done += take
         parts.append(r)
         if on_chunk is not None:
             on_chunk(done, x, r)

@@ -134,7 +134,7 @@ def transient_gmres(
     tstop: Optional[float] = None,
     x0: Optional[np.ndarray] = None,
     *,
-    precond: str = "ainv",
+    precond: str = "auto",
     dtype=jnp.float32,
     tol: float = 1e-7,
     restart: int = 32,
@@ -168,18 +168,35 @@ def transient_gmres(
     per-dispatch device time and enables progress reporting.
     """
     from gmres_tpu.models.dc import dc_solve
-    from gmres_tpu.ops.spmv import device_operator
+    from gmres_tpu.ops.operator import as_operator
+    from gmres_tpu.ops.spmv import device_operator, stencil_matrix
+    from gmres_tpu.precond import resolve_precond
     from gmres_tpu.precond.milu import SystemTransform, should_transform
 
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
+    precond = resolve_precond(precond, A)
     x = dc_solve(mna, method=dc_method) if x0 is None else np.asarray(x0)
     dc = x.copy()
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
 
     tr = None
+    App = None          # transform-ordered A (factorization space)
+    decouple = False    # natural-order SpMV + transform inside M hooks
+    A_nat_dev = None
     if transform == "always" or (transform == "auto" and should_transform(A)):
         tr = SystemTransform.build(A)
-        A_t, Ch_t, B_t = tr.mat(A), tr.mat(Ch), tr.rows(mna.B)
+        App = tr.mat(A)
+        # Decoupled routing: when the NATURAL ordering rides the DIA/hybrid
+        # fast path, keep the whole recurrence (A, C/h, B, state, ports) in
+        # natural order and fold the transform into the preconditioner hooks
+        # (TransformedLeft/Right) — algebraically the same Krylov iteration,
+        # but the per-iteration A-SpMV stays on the stencil path instead of
+        # the RCM-shredded gather path. RCM exists for the *factorization*
+        # (fill/levels), not for the operator.
+        A_nat_dev = stencil_matrix(A, dtype=dtype)
+        decouple = A_nat_dev is not None
+    if tr is not None and not decouple:
+        A_t, Ch_t, B_t = App, tr.mat(Ch), tr.rows(mna.B)
         x_t = tr.vec_to(x)
         ports_t = tr.port_gather(ports)
     else:
@@ -202,20 +219,29 @@ def transient_gmres(
             device_operator(B_t, dtype=jnp.float64),
             device_operator(Ch_t, dtype=jnp.float64),
         )
-    M = make_preconditioner(precond, A_t, dtype=dtype, fmt="auto")
+    M = make_preconditioner(precond, App if tr is not None else A_t,
+                            dtype=dtype, fmt="auto")
+    if decouple:
+        M_left = tr.left_hook(M, dtype=dtype)
+        M_right = tr.right_hook(dtype=dtype)
+        A_op = as_operator(A_nat_dev, logical_shape=A.shape)
+    else:
+        M_left, M_right = M, None
+        A_op = device_operator(A_t, dtype=dtype)
     res = thermal_transient(
-        device_operator(A_t, dtype=dtype),
+        A_op,
         device_operator(B_t, dtype=dtype),
         device_operator(Ch_t, dtype=dtype),
         U,
         x0=jnp.asarray(x_t, dtype=jnp.float64 if refine else dtype),
-        restart=restart, tol=tol, maxiter=maxiter, M_left=M, dtype=dtype,
+        restart=restart, tol=tol, maxiter=maxiter, M_left=M_left,
+        M_right=M_right, dtype=dtype,
         ports=jnp.asarray(ports_t, dtype=jnp.int32),
         hi_ops=hi_ops,
         chunk_steps=chunk_steps, on_chunk=on_chunk,
     )
     port_values = np.asarray(res.X, dtype=np.float64)
-    if tr is not None:
+    if tr is not None and not decouple:
         port_values = port_values * tr.port_scale(ports)[None, :]
     return PgTransientResult(
         times=times,

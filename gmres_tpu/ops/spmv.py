@@ -107,6 +107,32 @@ def device_operator(A, dtype=jnp.float32, backend=None, max_diags: int = 96):
     return as_operator(dev, logical_shape=A.shape)
 
 
+def stencil_matrix(A, dtype=jnp.float32, max_diags: int = 96):
+    """DIA or hybrid DIA+remainder device matrix when A's CURRENT ordering
+    is stencil-like (dense-diagonal coverage), else None.
+
+    Backend-independent on purpose: routing decisions built on this (e.g.
+    "keep the operator in natural order and fold the RCM transform into the
+    preconditioner hooks", precond/milu.py TransformedLeft) must not differ
+    between the CPU test mesh and TPU — both formats run on both backends
+    (DIA as shifted multiplies, the fastest layout on either)."""
+    n_rows, n_cols = A.shape
+    if n_rows != n_cols or A.nnz == 0 or A.nnz * 16 < n_rows:
+        return None
+    try:
+        import numpy as _np
+
+        rows = _np.repeat(_np.arange(n_rows), A.row_lengths())
+        ndiags = _np.unique(A.indices.astype(_np.int64) - rows).size
+    except Exception:
+        return None
+    if ndiags <= max_diags:
+        return A.to_dia(dtype=dtype, pad_to=1024, max_diags=max_diags)
+    from gmres_tpu.ops.well import to_hybrid
+
+    return to_hybrid(A, dtype=dtype, max_diags=max_diags)
+
+
 def device_matrix(A, dtype=jnp.float32, backend=None, max_diags: int = 96):
     """Pick the fastest device format for this backend.
 
@@ -122,23 +148,11 @@ def device_matrix(A, dtype=jnp.float32, backend=None, max_diags: int = 96):
     if A.nnz * 16 < n_rows:
         return A.to_device_coo(dtype=dtype)
     if backend == "tpu":
-        try:
-            lengths = A.row_lengths()
-            import numpy as _np
+        S = stencil_matrix(A, dtype=dtype, max_diags=max_diags)
+        if S is not None:
+            return S
+        from gmres_tpu.ops.well import to_well, to_well_slab
 
-            rows = _np.repeat(_np.arange(A.shape[0]), lengths)
-            ndiags = _np.unique(A.indices.astype(_np.int64) - rows).size
-        except Exception:
-            ndiags = max_diags + 1
-        if ndiags <= max_diags and n_rows == n_cols:
-            return A.to_dia(dtype=dtype, pad_to=1024, max_diags=max_diags)
-        from gmres_tpu.ops.well import to_hybrid, to_well, to_well_slab
-
-        # hybrid first: natural-ordered PG grids are a stencil + a few
-        # percent of scattered vias -- the stencil rides the DIA fast path
-        H = to_hybrid(A, dtype=dtype, max_diags=max_diags)
-        if H is not None:
-            return H
         # v2 slab layout when the matrix fits its envelope (RCM-clustered
         # footprint); v1 cross-window packing else
         W = to_well_slab(A, dtype=dtype)

@@ -85,9 +85,18 @@ class WellMatrix:
         return self.vals.dtype
 
 
-def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMatrix:
+def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
+            as_numpy: bool = False) -> WellMatrix:
     """Pack host CSR into WELL (the 'inspection' pass). Supports rectangular
-    matrices: rows pad to the tile grid, columns to the window grid."""
+    matrices: rows pad to the tile grid, columns to the window grid.
+
+    ``as_numpy`` keeps every array on the host in NumPy (vals in f64):
+    used by :func:`to_well_slab`, which repacks the layout before any
+    device transfer — converting through jnp would silently truncate the
+    f64 values to f32 whenever x64 mode is off (and warn about it)."""
+    asarray = (lambda a, **kw: np.asarray(a, **kw)) if as_numpy else jnp.asarray
+    if as_numpy:
+        dtype = np.float64
     n, ncols = A.shape
     n_pad = round_up(max(n, _LANES), _LANES)
     ncols_pad = round_up(max(ncols, _LANES), _LANES)
@@ -118,8 +127,8 @@ def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMa
         Lr = np.zeros(steps * M, dtype=np.int32)
         Va = np.zeros(steps * M, dtype=np.int32)
         return WellMatrix(
-            vals=jnp.asarray(V, dtype=dtype), lcols=jnp.asarray(Cl),
-            widx=jnp.asarray(Wi), lrow=jnp.asarray(Lr), valid=jnp.asarray(Va),
+            vals=asarray(V, dtype=dtype), lcols=asarray(Cl),
+            widx=asarray(Wi), lrow=asarray(Lr), valid=asarray(Va),
             shape=(ntiles_pad * _LANES, ncols_pad), logical_n=n,
             tiles_per_step=tiles_per_step, chunks_per_step=M,
         )
@@ -199,11 +208,11 @@ def to_well(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16) -> WellMa
     Cl[st, po, nnz_sub, l_s] = c_s
 
     return WellMatrix(
-        vals=jnp.asarray(V, dtype=dtype),
-        lcols=jnp.asarray(Cl),
-        widx=jnp.asarray(Wi),
-        lrow=jnp.asarray(Lr),
-        valid=jnp.asarray(Va),
+        vals=asarray(V, dtype=dtype),
+        lcols=asarray(Cl),
+        widx=asarray(Wi),
+        lrow=asarray(Lr),
+        valid=asarray(Va),
         shape=(ntiles_pad * _LANES, ncols_pad),
         logical_n=n,
         tiles_per_step=tiles_per_step,
@@ -397,7 +406,7 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
     """Pack host CSR into the v2 chunk-group slab layout, or None when the
     matrix doesn't fit (slab wider than ``slab_cap`` with too many spilled
     entries) -- callers fall back to :func:`to_well`."""
-    W1 = to_well(A, dtype=jnp.float64, tiles_per_step=tiles_per_step)
+    W1 = to_well(A, tiles_per_step=tiles_per_step, as_numpy=True)
     steps, M = W1.steps, W1.chunks_per_step
     nwin = W1.shape[1] // _LANES
     vals = np.array(W1.vals)                   # (steps, M, 8, 128), writable
@@ -673,7 +682,7 @@ class HybridMatrix:
 
 def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
               max_diags: int = 96, min_coverage: float = 0.5,
-              tiles_per_step: int = 16, promote_min: int = 0):
+              tiles_per_step: int = 16, promote_min=None):
     """Split CSR into dense diagonals (DIA) + remainder, or None when the
     dense diagonals cover less than ``min_coverage`` of the nnz.
 
@@ -685,8 +694,13 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     (a via array between grid layers, which is constant-offset in natural
     node order) is far cheaper ridden on the DIA path. When promotion
     empties the remainder entirely, the fixed scatter cost disappears and
-    the hybrid degenerates to pure DIA. Default ``promote_min``:
-    ``max(64, n // 2048)`` (the measured breakeven with margin)."""
+    the hybrid degenerates to pure DIA. ``promote_min=None`` (default)
+    resolves to ``max(64, n // 2048)`` (the measured breakeven with
+    margin); pass an explicit count to tune, 0 to promote the densest
+    remaining offsets unconditionally, or ``float('inf')`` to disable
+    promotion. The ``min_coverage`` viability gate is evaluated AFTER
+    promotion, so matrices whose stencil part alone falls just short can
+    still qualify on promoted diagonals."""
     import scipy.sparse as sp
 
     n, nc = A.shape
@@ -704,18 +718,18 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
         dense = dense[counts[order[:max_diags]] >= min_density * n]
         if dense.size == 0:
             return None
-    cov = counts[np.isin(diag, dense)].sum() / A.nnz
-    if cov < min_coverage:
-        return None
-    if not promote_min:
+    if promote_min is None:
         promote_min = max(64, n // 2048)
     room = max_diags - dense.size
-    if room > 0:
+    if room > 0 and np.isfinite(promote_min):
         cand = (counts >= promote_min) & ~np.isin(diag, dense)
         if np.any(cand):
             ci = np.nonzero(cand)[0]
             ci = ci[np.argsort(-counts[ci])][:room]
             dense = np.concatenate([dense, diag[ci]])
+    cov = counts[np.isin(diag, dense)].sum() / A.nnz
+    if cov < min_coverage:
+        return None
     N = round_up(n, tiles_per_step * _LANES)
     on_dia = np.isin(offs, dense)
     cols = A.indices.astype(np.int64)

@@ -23,18 +23,38 @@ __all__ = [
     "IluPrecond", "IlutpPrecond", "ilu0", "iluk", "ilutp",
     "AinvPrecond", "ainv",
     "LevelTriSolve", "tri_solve_levels",
-    "make_preconditioner",
+    "make_preconditioner", "resolve_precond",
 ]
+
+
+def resolve_precond(name: str, A) -> str:
+    """Resolve ``"auto"`` to a concrete preconditioner for this matrix.
+
+    Saddle-point MNA systems (V-source/inductor branch rows -> structurally
+    zero diagonals) defeat unpivoted factorizations and AINV — measured on
+    the 20K-node contest fixture: AINV+transform stalls (mean 276 iters/step,
+    non-converged) while ILUTP converges at ~30 iters/step (MEASUREMENTS r2).
+    Grounded conductance/thermal systems go to AINV (cheapest device apply:
+    two SpMVs, TVLSI §V's robustness pick)."""
+    name = (name or "none").lower()
+    if name != "auto":
+        return name
+    import numpy as np
+
+    diag = A.diagonal() if hasattr(A, "diagonal") else None
+    if diag is not None and np.any(np.asarray(diag) == 0.0):
+        return "ilutp"
+    return "ainv"
 
 
 def make_preconditioner(name: str, A, **kw):
     """Factory keyed by the reference's CLI/menu names (main2.cu:55-80:
-    NONE/DIAG/ILU0/AINV; plus iluk). Extra kwargs not understood by the
-    selected builder are dropped (so callers can pass e.g. fmt='auto'
-    uniformly)."""
+    NONE/DIAG/ILU0/AINV; plus iluk/ilutp and "auto" — see
+    :func:`resolve_precond`). Extra kwargs not understood by the selected
+    builder are dropped (so callers can pass e.g. fmt='auto' uniformly)."""
     import inspect
 
-    name = (name or "none").lower()
+    name = resolve_precond(name, A)
     if name in ("none", ""):
         return None
     builders = {

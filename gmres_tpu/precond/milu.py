@@ -19,6 +19,7 @@ while every device-side apply remains trivially vectorizable.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -32,7 +33,7 @@ from gmres_tpu.precond.ilu import iluk_factor, _build as _build_ilu
 from gmres_tpu.solvers.gmres import GmresResult, gmres
 
 __all__ = ["ruiz_equilibrate", "MiluSolver", "SystemTransform",
-           "should_transform"]
+           "should_transform", "TransformedLeft", "TransformedRight"]
 
 
 def ruiz_equilibrate(A: CSRMatrix, iters: int = 4):
@@ -126,6 +127,63 @@ class SystemTransform:
         """...and the scale to recover x[ports] = port_scale * z[gather]."""
         return self.dc[np.asarray(ports)]
 
+    def left_hook(self, M=None, dtype=jnp.float32) -> "TransformedLeft":
+        """M_left for natural-order GMRES: v -> M^{-1}(P Dr v)."""
+        return TransformedLeft(
+            M=M,
+            gather=jnp.asarray(self.perm, jnp.int32),
+            scale=jnp.asarray(self.dr, dtype),
+        )
+
+    def right_hook(self, dtype=jnp.float32) -> "TransformedRight":
+        """M_right for natural-order GMRES: v -> Dc P^T v."""
+        return TransformedRight(
+            gather=jnp.asarray(self.inv_perm, jnp.int32),
+            scale=jnp.asarray(self.dc, dtype),
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["M", "gather", "scale"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class TransformedLeft:
+    """Left hook folding the SystemTransform into the preconditioner apply:
+    v -> M^{-1}(P Dr v). Together with :class:`TransformedRight` as the
+    right hook, GMRES on the natural-order A is algebraically identical to
+    GMRES on the transformed system A'' = P Dr A Dc P^T (same Krylov
+    coefficients, same iteration counts) — but the A-SpMV keeps its natural
+    layout and rides the hybrid DIA fast path instead of the RCM-shredded
+    gather path. This is how the reference's MyILUPP applies its perm+scale
+    inside the preconditioner without ever permuting A
+    (preconditioner.cu:962-1155)."""
+
+    M: object           # preconditioner built on the transformed matrix
+    gather: jax.Array   # (n,) int32 — row permutation P
+    scale: jax.Array    # (n,) — Ruiz row scaling dr
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        w = (self.scale * v)[self.gather]
+        return self.M(w) if self.M is not None else w
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["gather", "scale"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class TransformedRight:
+    """Right hook v -> Dc P^T v (see :class:`TransformedLeft`)."""
+
+    gather: jax.Array   # (n,) int32 — inverse permutation P^T
+    scale: jax.Array    # (n,) — Ruiz column scaling dc
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return self.scale * v[self.gather]
+
 
 def should_transform(A: CSRMatrix, max_diags: int = 96) -> bool:
     """Transform when the matrix would miss the DIA fast path anyway
@@ -164,7 +222,7 @@ class MiluSolver:
     fill_factor: float = 10.0
 
     def __post_init__(self):
-        from gmres_tpu.ops.spmv import device_matrix
+        from gmres_tpu.ops.spmv import device_matrix, stencil_matrix
 
         A = self.A
         self.tr = SystemTransform.build(A, self.ruiz_iters, self.reorder)
@@ -180,7 +238,16 @@ class MiluSolver:
             self.M = _build_ilu(L, U, self.dtype, self.trisolve, sweeps=8)
         else:
             raise ValueError(f"unknown factor {self.factor!r}")
-        self.A_dev = device_matrix(App, dtype=self.dtype)
+        # The transform orders the FACTORIZATION; the operator keeps its
+        # natural layout whenever that layout rides the DIA/hybrid fast path
+        # (the RCM permutation shreds natural stencil diagonals into
+        # thousands of scattered ones — the slow gather path). The perm +
+        # scalings then live inside the GMRES hooks (TransformedLeft/Right),
+        # which is algebraically the same iteration.
+        A_nat = stencil_matrix(A, dtype=self.dtype)
+        self.decoupled = A_nat is not None
+        self.A_dev = A_nat if self.decoupled else device_matrix(
+            App, dtype=self.dtype)
         self._logical_n = A.shape[0]
 
     # --- split hooks (preconditioner.h:47-84 naming) --------------------
@@ -199,14 +266,24 @@ class MiluSolver:
     def solve(self, b, x0: Optional[np.ndarray] = None) -> GmresResult:
         from gmres_tpu.ops.operator import as_operator
 
-        bt = jnp.asarray(self.transform_rhs(b), dtype=self.dtype)
-        z0 = (jnp.asarray(self.initial_guess(x0), dtype=self.dtype)
-              if x0 is not None else None)
         n = self._logical_n
         Aop = as_operator(self.A_dev, logical_shape=(n, n))
-        res = gmres(Aop, bt, z0, restart=self.restart, tol=self.tol,
-                    maxiter=self.maxiter, M_left=self.M)
-        x = self.untransform_solution(np.asarray(res.x, np.float64))
+        if self.decoupled:
+            bt = jnp.asarray(b, dtype=self.dtype)
+            x0d = (jnp.asarray(x0, dtype=self.dtype)
+                   if x0 is not None else None)
+            res = gmres(Aop, bt, x0d, restart=self.restart, tol=self.tol,
+                        maxiter=self.maxiter,
+                        M_left=self.tr.left_hook(self.M, self.dtype),
+                        M_right=self.tr.right_hook(self.dtype))
+            x = np.asarray(res.x, np.float64)
+        else:
+            bt = jnp.asarray(self.transform_rhs(b), dtype=self.dtype)
+            z0 = (jnp.asarray(self.initial_guess(x0), dtype=self.dtype)
+                  if x0 is not None else None)
+            res = gmres(Aop, bt, z0, restart=self.restart, tol=self.tol,
+                        maxiter=self.maxiter, M_left=self.M)
+            x = self.untransform_solution(np.asarray(res.x, np.float64))
         return GmresResult(x=x, residual=res.residual,
                            iterations=res.iterations, restarts=res.restarts,
                            converged=res.converged)
