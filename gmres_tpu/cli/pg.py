@@ -147,7 +147,38 @@ def main(argv=None) -> int:
                 )
     else:
         with timers.phase("mna_transient"):
-            if args.gmres:
+            if args.gmres and args.nparts > 1:
+                # row-sharded distributed engine over a device mesh — the
+                # -np dispatch of the reference (etbr_cmd_short.cpp:364)
+                # rebuilt on the framework's scaling axis (SURVEY §2.7 P4/P5)
+                import jax
+
+                from gmres_tpu.parallel.dist_transient import (
+                    dist_transient_gmres,
+                )
+                from gmres_tpu.parallel.mesh import make_mesh
+
+                ndev = len(jax.devices())
+                nparts = min(args.nparts, ndev)
+                if nparts < args.nparts:
+                    print(f"* -np {args.nparts} clamped to {nparts} "
+                          f"(visible devices)")
+                mesh = make_mesh(n_rows=nparts)
+                dprec = args.precond
+                if dprec in ("auto", "ilutp", "ilupp"):
+                    # distributed forms exist for jacobi/ainv/block-ILU;
+                    # block-ILU is the robust default on MNA systems
+                    dprec = "iluk"
+                res = dist_transient_gmres(
+                    mna, mesh, precond=dprec, dtype=dtype, tol=args.tol,
+                    restart=args.restart,
+                )
+                it = res.iterations
+                print(f"* distributed gmres transient ({nparts} shards, "
+                      f"{res.comm}): {int(it.sum())} total iterations, "
+                      f"mean {float(it.mean()):.1f}/step, "
+                      f"converged={res.converged}")
+            elif args.gmres:
                 def _progress(done, _x, r):
                     it = np.asarray(r.iterations)
                     print(f"*   step {done}: mean {it.mean():.1f} GMRES "

@@ -61,7 +61,7 @@ class RowShardedOp:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ell_local", "ell_halo"],
-    meta_fields=["axis", "halo", "ndev"],
+    meta_fields=["axis", "halo", "ndev", "interior_nnz", "halo_nnz"],
 )
 @dataclasses.dataclass(frozen=True)
 class HaloShardedOp:
@@ -86,6 +86,11 @@ class HaloShardedOp:
     axis: str
     halo: int
     ndev: int
+    # per-shard telemetry from pack time (tuples, len ndev): how much of
+    # each shard's work is interior (overlappable with the ppermute) vs
+    # boundary — the comm/compute balance the overlap claim rests on
+    interior_nnz: tuple = ()
+    halo_nnz: tuple = ()
 
     def __call__(self, x_local: jax.Array) -> jax.Array:
         H, N = self.halo, self.ndev
@@ -212,6 +217,9 @@ def build_halo_op(ell: EllMatrix, part: RowPartition, axis: str):
     hcols = np.where(rel < 0, rel + H, H + (rel - rpd))
     d_hal, c_hal = _pack_rows(data, np.where(is_halo, hcols, 0), is_halo)
     dt = ell.data.dtype
+    shard_of = np.arange(n_padded) // rpd
+    int_nnz = tuple(int(is_local[shard_of == k].sum()) for k in range(ndev))
+    hal_nnz = tuple(int(is_halo[shard_of == k].sum()) for k in range(ndev))
     return HaloShardedOp(
         ell_local=EllMatrix(data=jnp.asarray(d_loc, dtype=dt),
                             cols=jnp.asarray(c_loc),
@@ -222,6 +230,8 @@ def build_halo_op(ell: EllMatrix, part: RowPartition, axis: str):
         axis=axis,
         halo=H,
         ndev=ndev,
+        interior_nnz=int_nnz,
+        halo_nnz=hal_nnz,
     )
 
 
@@ -413,6 +423,15 @@ class DistGmresSolver:
         if self.Aop is None:
             self.Aop = RowShardedOp(ell, axis)
         self.comm = type(self.Aop).__name__
+        # comm telemetry (reference analogue: solver stats prints,
+        # mna_solve_gpu_gmres.cpp:345-350): how much per-shard work is
+        # interior (overlappable with the ppermute) vs boundary
+        self.comm_stats = (
+            {"halo": self.Aop.halo,
+             "interior_nnz": self.Aop.interior_nnz,
+             "halo_nnz": self.Aop.halo_nnz}
+            if isinstance(self.Aop, HaloShardedOp) else {}
+        )
         if isinstance(precond, str) and precond in ("ilu0", "iluk",
                                                     "block_ilu"):
             # block-Jacobi ILU: per-shard factorization of the diagonal
@@ -533,19 +552,23 @@ class DistGmresSolver:
         nrhs = B.shape[0]
         nb = self.mesh.shape[self.batch_axis]
         nrhs_pad = -(-nrhs // nb) * nb
-        Bp = np.zeros((nrhs_pad, self.part.n_padded))
-        for i in range(nrhs):
-            Bp[i] = self.part.pad_permute(B[i])
+        # one gather for the whole batch (no per-RHS host loop: O(nrhs * n)
+        # Python-level work matters at nrhs=64, n=500K)
+        part = self.part
+        Bp = np.zeros((nrhs_pad, part.n_padded))
+        Bp[:nrhs, : part.n] = B if part.perm is None else B[:, part.perm]
         sh = NamedSharding(self.mesh, P(self.batch_axis, self.axis))
         Bd = jax.device_put(jnp.asarray(Bp, dtype=self.dtype), sh)
         res = self._solve_batch(
             Bd, jnp.zeros_like(Bd), jnp.asarray(self.tol, self.dtype),
             self.Aop, self.Ml,
         )
-        X = np.stack([
-            self.part.unpad_unpermute(np.asarray(res.x[i]))
-            for i in range(nrhs)
-        ])
+        Xp = np.asarray(res.x)[:nrhs, : part.n]
+        if part.perm is None:
+            X = Xp
+        else:
+            X = np.empty_like(Xp)
+            X[:, part.perm] = Xp
         return GmresResult(
             x=X,
             residual=np.asarray(res.residual)[:nrhs],

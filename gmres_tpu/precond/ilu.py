@@ -23,6 +23,7 @@ from gmres_tpu.ops.formats import CSRMatrix
 from gmres_tpu.precond.trisolve import (
     JacobiTriSolve,
     LevelTriSolve,
+    tri_solve_auto,
     tri_solve_levels,
     tri_solve_sweeps,
 )
@@ -225,9 +226,12 @@ class IluPrecond:
 
 
 def _build(L: CSRMatrix, U: CSRMatrix, dtype, mode: str, sweeps: int) -> IluPrecond:
-    if mode == "levels":
-        ls = tri_solve_levels(L, lower=True, dtype=dtype, unit_diag=True)
-        us = tri_solve_levels(U, lower=False, dtype=dtype)
+    if mode in ("levels", "auto"):
+        # "levels" means level-scheduled; tri_solve_auto picks the dense or
+        # the chunked layout by padding blowup (semantics identical, the
+        # dense layout is watchdog-fatal on high-fill factors)
+        ls = tri_solve_auto(L, lower=True, dtype=dtype, unit_diag=True)
+        us = tri_solve_auto(U, lower=False, dtype=dtype)
     elif mode == "sweeps":
         ls = tri_solve_sweeps(L, lower=True, dtype=dtype, unit_diag=True, sweeps=sweeps)
         us = tri_solve_sweeps(U, lower=False, dtype=dtype, sweeps=sweeps)
@@ -308,9 +312,9 @@ def ilutp(A: CSRMatrix, drop_tol: float = 1e-4, fill_factor: float = 10.0,
             f"{drop_tol * 0.01}: {err}")
     L = _CSR.from_scipy(ilu.L.tocsr())
     U = _CSR.from_scipy(ilu.U.tocsr())
-    if mode == "levels":
-        ls = tri_solve_levels(L, lower=True, dtype=dtype, unit_diag=True)
-        us = tri_solve_levels(U, lower=False, dtype=dtype)
+    if mode in ("levels", "auto"):
+        ls = tri_solve_auto(L, lower=True, dtype=dtype, unit_diag=True)
+        us = tri_solve_auto(U, lower=False, dtype=dtype)
     elif mode == "sweeps":
         ls = tri_solve_sweeps(L, lower=True, dtype=dtype, unit_diag=True,
                               sweeps=sweeps)

@@ -71,15 +71,18 @@ class DeviceSparseLU:
     def build(cls, A: CSRMatrix, dtype=jnp.float32) -> "DeviceSparseLU":
         import scipy.sparse.linalg as spla
 
-        from gmres_tpu.precond.trisolve import tri_solve_levels
+        from gmres_tpu.precond.trisolve import tri_solve_auto
 
         lu = spla.splu(A.to_scipy().tocsc())
         L = CSRMatrix.from_scipy(lu.L.tocsr())
         U = CSRMatrix.from_scipy(lu.U.tocsr())
         return cls(
-            lsolve=tri_solve_levels(L, lower=True, dtype=dtype,
-                                    unit_diag=True),
-            usolve=tri_solve_levels(U, lower=False, dtype=dtype),
+            # tri_solve_auto: SuperLU FULL factors at >=100K nodes have
+            # skewed level widths and wide rows — the dense level layout's
+            # padding is watchdog-fatal there; the chunked layout bounds it
+            lsolve=tri_solve_auto(L, lower=True, dtype=dtype,
+                                  unit_diag=True),
+            usolve=tri_solve_auto(U, lower=False, dtype=dtype),
             # bp[perm_r] = b  <=>  bp = b[argsort(perm_r)] (device gather)
             row_gather=jnp.asarray(np.argsort(lu.perm_r), jnp.int32),
             col_gather=jnp.asarray(lu.perm_c.astype(np.int32)),
