@@ -57,10 +57,16 @@ def build_argparser() -> argparse.ArgumentParser:
                          "V-source branch rows), ainv otherwise")
     ap.add_argument("-ir", action="store_true", help="IR-drop analysis")
     ap.add_argument("-dc", action="store_true", help="DC operating point only")
-    ap.add_argument("-refine", action="store_true",
+    ap.add_argument("-refine", action="store_true", default=None,
                     help="mixed-precision iterative refinement (GMRES-IR): "
                          "f64 state/residuals, f32 inner loop — reaches "
-                         "tolerances below the f32 floor")
+                         "tolerances below the f32 floor. DEFAULT for "
+                         "-single -gmres: plain f32 stalls at ~1e-4 true "
+                         "relative residual on multi-decade MNA systems "
+                         "(convergence is declared on the true residual, "
+                         "never the preconditioned norm)")
+    ap.add_argument("-no-refine", dest="refine", action="store_false",
+                    help="disable GMRES-IR (plain working-dtype iteration)")
     ap.add_argument("-tol", type=float, default=1e-7)
     ap.add_argument("-restart", type=int, default=32)
     ap.add_argument("-chunk", type=int, default=256, metavar="STEPS",
@@ -92,6 +98,10 @@ def main(argv=None) -> int:
     from gmres_tpu.utils.timing import PhaseTimers
 
     args = build_argparser().parse_args(argv)
+    if args.refine is None:
+        # auto: f32 iteration needs IR to honestly reach tol<=1e-6 on
+        # multi-decade MNA systems; f64 iteration doesn't need it
+        args.refine = bool(args.gmres and args.single)
     if args.refine:
         # GMRES-IR keeps f64 state; x64 must be on before any tracing.
         import jax
@@ -169,8 +179,11 @@ def main(argv=None) -> int:
                     # distributed forms exist for jacobi/ainv/block-ILU;
                     # block-ILU is the robust default on MNA systems
                     dprec = "iluk"
+                # IR is not yet lifted to the sharded engine; -single with
+                # refine-auto runs full f64 there instead (honest tol)
+                ddtype = jnp.float64 if args.refine else dtype
                 res = dist_transient_gmres(
-                    mna, mesh, precond=dprec, dtype=dtype, tol=args.tol,
+                    mna, mesh, precond=dprec, dtype=ddtype, tol=args.tol,
                     restart=args.restart,
                 )
                 it = res.iterations

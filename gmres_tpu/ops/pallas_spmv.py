@@ -127,14 +127,19 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, interpret: bool = False):
         kern,
         grid=(n_pad // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x fully resident
+            # x fully resident (whole-array block, i32 map: the default
+            # map emits i64 constants under x64 and Mosaic fails to
+            # legalize the transform func)
+            pl.BlockSpec(x2d.shape,
+                         lambda i: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (ndiag, rpt, _LANES), lambda i: (0, i, 0),
+                (ndiag, rpt, _LANES), lambda i: (jnp.int32(0), i.astype(jnp.int32) if hasattr(i, 'astype') else jnp.int32(i), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (rpt, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (rpt, _LANES), lambda i: (i.astype(jnp.int32) if hasattr(i, 'astype') else jnp.int32(i), jnp.int32(0)), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad // _LANES, _LANES), dtype),
         interpret=interpret,

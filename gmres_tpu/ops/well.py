@@ -55,6 +55,15 @@ _LANES = 128
 _SLOTS = 8
 
 
+def _i32(*vals):
+    """Index-map outputs as int32: under x64, default-int index values trace
+    as i64 and Mosaic fails to legalize the scalar-prefetch transform
+    (reproduced on v5e; GMRES-IR enables x64 globally, so production hits
+    this). Cast every index-map return through here."""
+    return tuple(jnp.int32(v) if isinstance(v, int) else v.astype(jnp.int32)
+                 for v in vals)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals", "lcols", "widx", "lrow", "valid"],
@@ -283,18 +292,21 @@ def well_spmv(A: WellMatrix, x: jax.Array, interpret: bool = False) -> jax.Array
             num_scalar_prefetch=3,
             grid=(steps,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+                # x resident: whole-array block with an explicit i32 map —
+                # the default map emits i64 constants under x64 (see _i32)
+                pl.BlockSpec(x2d.shape, lambda i, *_: _i32(0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, M, _SLOTS, _LANES), lambda i, *_: (i, 0, 0, 0),
+                    (1, M, _SLOTS, _LANES), lambda i, *_: _i32(i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, M, _SLOTS, _LANES), lambda i, *_: (i, 0, 0, 0),
+                    (1, M, _SLOTS, _LANES), lambda i, *_: _i32(i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (tps, _LANES), lambda i, *_: (i, 0),
+                (tps, _LANES), lambda i, *_: _i32(i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -564,24 +576,26 @@ def well_slab_spmv(A: WellSlabMatrix, x: jax.Array,
             num_scalar_prefetch=4,
             grid=(A.ngroups,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+                # x resident (whole-array block, i32 map — see _i32)
+                pl.BlockSpec(x2d.shape, lambda i, *sc: _i32(0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, G * _SLOTS, 1), lambda i, *sc: (i, 0, 0),
+                    (1, G * _SLOTS, 1), lambda i, *sc: _i32(i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, G, _SLOTS, _LANES), lambda i, *sc: (i, 0, 0, 0),
+                    (1, G, _SLOTS, _LANES), lambda i, *sc: _i32(i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, G, _SLOTS, _LANES), lambda i, *sc: (i, 0, 0, 0),
+                    (1, G, _SLOTS, _LANES), lambda i, *sc: _i32(i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
                 # groups of one step are consecutive: the block stays in
                 # VMEM across them and flushes when gout advances
-                (tps, _LANES), lambda i, gout, *sc: (gout[i], 0),
+                (tps, _LANES), lambda i, gout, *sc: _i32(gout[i], 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -742,16 +756,18 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     dia = CSRMatrix.from_scipy(Sd).to_dia(dtype=dtype, pad_to=N,
                                           max_diags=max_diags)
     rest_csr = CSRMatrix.from_scipy(Sr)
-    rest = to_well_slab(rest_csr, dtype=dtype, tiles_per_step=tiles_per_step)
-    if rest is None:
-        # The hybrid remainder is by construction the scattered part (via
-        # arrays, pad rows) — WELL chunks run near-empty on it (measured
-        # 0.04 Gnnz/s at 8 nnz/chunk vs COO segment-sum's flat ~16 ns/nnz),
-        # so scatter-add COO wins until the remainder is big enough that
-        # chunk occupancy recovers.
-        if rest_csr.nnz <= 65536:
-            rest = rest_csr.to_device_coo(dtype=dtype)
-        else:
+    # The hybrid remainder is by construction the scattered part (via
+    # arrays, pad rows) — WELL chunks run near-empty on it (measured
+    # 0.04 Gnnz/s at 8 nnz/chunk vs COO segment-sum's flat ~16 ns/nnz),
+    # so scatter-add COO wins outright until the remainder is big enough
+    # that chunk occupancy recovers. COO takes priority over the slab for
+    # small remainders (not just as the slab's fallback).
+    if rest_csr.nnz <= 65536:
+        rest = rest_csr.to_device_coo(dtype=dtype)
+    else:
+        rest = to_well_slab(rest_csr, dtype=dtype,
+                            tiles_per_step=tiles_per_step)
+        if rest is None:
             rest = to_well(rest_csr, dtype=dtype,
                            tiles_per_step=tiles_per_step)
     assert dia.shape[0] == N and rest.shape[0] == N, (dia.shape, rest.shape)

@@ -39,11 +39,13 @@ __all__ = ["GmresResult", "gmres", "gmres_solver"]
 
 class GmresResult(NamedTuple):
     x: jax.Array
-    residual: jax.Array      # final relative residual (preconditioned norm)
+    residual: jax.Array      # final TRUE relative residual ||b-Ax||/||b||
+                             # (measured at the last restart-cycle start —
+                             # never the preconditioned/implicit norm)
     iterations: jax.Array    # total inner Arnoldi steps
     restarts: jax.Array      # completed restart cycles
     converged: jax.Array     # bool
-    # per-restart-cycle absolute residual trace (NaN-padded), when the
+    # per-restart-cycle absolute TRUE residual trace (NaN-padded), when the
     # caller asked for telemetry (gmres.cu:1155's residual stream analogue)
     history: Optional[jax.Array] = None
 
@@ -122,7 +124,18 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
     b_hi = b.astype(hi) if A_hi is not None else b
     b = b.astype(dtype)
 
-    bnorm = _norm(M_left(b), dot_dtype, axis)
+    # Convergence is declared on the UNPRECONDITIONED residual ||b - Ax||,
+    # measured at restart-cycle starts. The implicit (Givens) residual lives
+    # in the left-preconditioned norm — on ill-conditioned factors (ILUTP on
+    # saddle-point MNA) that norm collapses by the factors' inverse norms
+    # and "converges" while the true residual is O(1) (measured: warm
+    # transient steps exiting at 0 iterations with 4e-4 port errors at
+    # tol=1e-8). The reference declares on the same preconditioned norm
+    # (gmres.cu:2396) and inherits the hazard; here the cycle-start true
+    # residual (one extra norm of the r_pre already computed) gates `done`,
+    # and the inner loop targets the scale-free REDUCTION FACTOR the true
+    # residual still needs.
+    bnorm = _norm(b, dot_dtype, axis)
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, dtype))
     tol_abs = jnp.asarray(tol, dtype) * bnorm
 
@@ -166,12 +179,22 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
 
     def arnoldi_cycle(x):
         if A_hi is not None:
-            r_pre = (b_hi - A_hi(x)).astype(dtype)
+            r_hi = b_hi - A_hi(x)
+            beta_true = _norm(r_hi, jnp.float64, axis).astype(dtype)
+            r_pre = r_hi.astype(dtype)
         else:
             r_pre = b - A(x)
+            beta_true = _norm(r_pre, dot_dtype, axis)
         r = M_left(r_pre)
         beta = _norm(r, dot_dtype, axis)
-        already = beta <= tol_abs
+        already = beta_true <= tol_abs
+        # inner target: shrink the implicit (preconditioned) residual by the
+        # factor the TRUE residual still needs; the next cycle re-verifies
+        # against the true norm, so an optimistic preconditioned norm costs
+        # at most one extra cycle, never a false convergence
+        factor = jnp.minimum(tol_abs / jnp.maximum(beta_true, eps),
+                             jnp.asarray(1.0, dtype))
+        inner_tol = beta * factor
 
         V0 = jnp.zeros((m_pad, n), dtype)
         V0 = V0.at[0].set(jnp.where(beta > eps, r / jnp.where(beta > eps, beta, 1.0), 0.0))
@@ -224,7 +247,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
             sn = jnp.where(active, sn_n, sn)
             res = jnp.where(active, res_n, res)
             j = jnp.where(active, j + 1, j)
-            active = active & ok & (res_n > tol_abs)
+            active = active & ok & (res_n > inner_tol)
             go = _pany(active & (j < m), sync_axes)
             return (step + 1, j, V, R, g, cs, sn, res, active, go)
 
@@ -240,7 +263,7 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
         y = jax.scipy.linalg.solve_triangular(R, gm, lower=False)
         y = jnp.where(colmask, y, 0.0)
         dx = M_right(y @ V[:m])
-        return x + dx.astype(x.dtype), res, j, beta
+        return x + dx.astype(x.dtype), res, j, beta_true
 
     max_cycles = min(-(-maxiter // max(restart, 1)) + 1, 8192)
     # Stall guard: when the true residual at the start of a cycle makes
@@ -257,19 +280,16 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
     def outer_body(st):
         x, res, iters, cycles, done, stall, prev, hist, go = st
         act = ~done  # this shard still solving; lockstep shards run masked
-        x_n, res_n, j, beta = arnoldi_cycle(x)
+        x_n, res_n, j, beta = arnoldi_cycle(x)   # beta = cycle-entry TRUE
         if track_history:
-            hist_n = hist.at[jnp.minimum(cycles, max_cycles - 1)].set(res_n)
+            hist_n = hist.at[jnp.minimum(cycles, max_cycles - 1)].set(beta)
             hist = jnp.where(act, hist_n, hist)
         stall_n = jnp.where(beta > stall_factor * prev, stall + 1, 0)
-        if A_hi is None:
-            done_n = res_n <= tol_abs
-        else:
-            # GMRES-IR: the implicit Givens residual drifts optimistic in
-            # f32; only the *true* f64 residual measured at a cycle start
-            # (beta) may declare convergence. A converged solve thus ends
-            # with one j==0 confirmation cycle (a single f64 SpMV).
-            done_n = beta <= tol_abs
+        # Only the true residual measured at a cycle start may declare
+        # convergence (the implicit Givens residual is optimistic in the
+        # preconditioned norm / at the f32 floor). A converged solve thus
+        # ends with one j==0 confirmation cycle (a single SpMV + M apply).
+        done_n = beta <= tol_abs
         # A cycle that takes zero steps cannot make progress: stop.
         done_n = done_n | (j == 0) | (stall_n >= 2)
         x = jnp.where(act, x_n, x)
@@ -284,10 +304,9 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
 
     x0 = x0.astype(hi)
     if A_hi is not None:
-        r0 = M_left((b_hi - A_hi(x0)).astype(dtype))
+        res0 = _norm(b_hi - A_hi(x0), jnp.float64, axis).astype(dtype)
     else:
-        r0 = M_left(b - A(x0))
-    res0 = _norm(r0, dot_dtype, axis)
+        res0 = _norm(b - A(x0), dot_dtype, axis)
     hist0 = (jnp.full((max_cycles,), jnp.nan, dtype)
              if track_history else jnp.zeros((0,), dtype))
     done0 = res0 <= tol_abs
@@ -297,13 +316,10 @@ def _gmres_impl(b, x0, tol, A, M_left, M_right, *, restart, maxiter, dot_dtype,
     x, res, iters, cycles, done, stall, prev, hist, _ = lax.while_loop(
         outer_cond, outer_body, st
     )
-    if A_hi is None:
-        res_out = res
-    else:
-        # Report convergence against the *true* f64 residual (prev carries
-        # the last cycle-start beta; res drifts optimistic at the f32 floor).
-        # Zero completed cycles means res0 already met tol — use it.
-        res_out = jnp.where(cycles > 0, prev, res0).astype(dtype)
+    # Report against the true residual: prev carries the last cycle-start
+    # unpreconditioned norm; zero completed cycles means res0 already met
+    # tol — use it.
+    res_out = jnp.where(cycles > 0, prev, res0).astype(dtype)
     return GmresResult(
         x=x,
         residual=res_out / bnorm,
@@ -336,7 +352,10 @@ def gmres(
       b: right-hand side, shape (n,).
       x0: initial guess (zeros if None).
       restart: Krylov dimension m per cycle.
-      tol: relative tolerance on the (left-preconditioned) residual norm.
+      tol: relative tolerance on the TRUE residual ||b - Ax|| / ||b||
+        (checked at restart-cycle starts; the preconditioned norm is only
+        an inner-loop steering signal, so ill-conditioned left
+        preconditioners cannot fake convergence).
       maxiter: cap on total inner iterations.
       M_left / M_right: preconditioner applications v -> M^{-1} v. Right
         preconditioning uses the correction form x += M_right(V y), so only
