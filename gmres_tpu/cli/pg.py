@@ -9,9 +9,10 @@ Flag surface mirrors etbr_cmd_short.cpp:91-167:
   -tpu         device engines (accepted alias: -gpu)
   -single/-double   f32 / f64 iteration
   -gmres       iterative full-MNA engine (else direct LU)
-  -precond P   auto|none|diag|ilu0|iluk|ainv|ilutp (default auto: ilutp on
-               saddle-point MNA, ainv on grounded systems; ilutp = the
-               ILU++/ILUCDP pivoting class, reference -ilu)
+  -precond P   auto|none|diag|ilu0|iluk|ainv|ilutp|saddle (default auto:
+               saddle = constraint-Schur over AINV on saddle-point MNA,
+               ainv on grounded systems; ilutp = the ILU++/ILUCDP pivoting
+               class, reference -ilu)
   -ir          IR-drop report
   -dc          DC solve only
 Dispatch mirrors the reference matrix at etbr_cmd_short.cpp:248-383.
@@ -52,9 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-gmres", action="store_true", help="iterative full-MNA engine")
     ap.add_argument("-precond", default="auto",
                     choices=["auto", "none", "diag", "jacobi", "ilu0",
-                             "iluk", "ainv", "ilutp"],
-                    help="auto = ilutp on saddle-point MNA (zero-diagonal "
-                         "V-source branch rows), ainv otherwise")
+                             "iluk", "ainv", "ilutp", "saddle"],
+                    help="auto = saddle (constraint-Schur over AINV) on "
+                         "saddle-point MNA (zero-diagonal V-source branch "
+                         "rows), ainv otherwise")
     ap.add_argument("-ir", action="store_true", help="IR-drop analysis")
     ap.add_argument("-dc", action="store_true", help="DC operating point only")
     ap.add_argument("-refine", action="store_true", default=None,

@@ -39,13 +39,17 @@ def dc_solve(
         return SparseLU(mna.G).solve(rhs)
     if method == "gmres":
         from gmres_tpu.ops.spmv import device_operator
+        from gmres_tpu.precond import resolve_precond
         from gmres_tpu.precond.milu import SystemTransform, should_transform
 
         G, b = mna.G, rhs
+        precond = resolve_precond(precond, G)
         tr = None
-        if should_transform(G):
+        if precond != "saddle" and should_transform(G):
             # equilibrate + reorder: MNA branch rows have zero diagonals
-            # that stall unpivoted preconditioners (see SystemTransform)
+            # that stall unpivoted preconditioners (see SystemTransform).
+            # The saddle preconditioner eliminates those rows exactly and
+            # needs neither.
             tr = SystemTransform.build(G)
             G, b = tr.mat(G), tr.rhs_to(b)
         M = make_preconditioner(precond, G, dtype=dtype, fmt="auto")

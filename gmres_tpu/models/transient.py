@@ -57,9 +57,10 @@ def transient_direct(
     tstop: Optional[float] = None,
     x0: Optional[np.ndarray] = None,
     *,
-    device: bool = False,
+    device=False,
     dtype=jnp.float32,
     chunk_steps: int = 0,
+    max_seq_steps: int = 3000,
 ) -> PgTransientResult:
     """Direct-LU transient (mna_solve.cpp:48-235 semantics).
 
@@ -69,6 +70,13 @@ def transient_direct(
     time loop runs on the TPU as one ``lax.scan``: per step two SpMVs for
     the rhs and a :class:`DeviceSparseLU` apply (permutation gathers + two
     level-scheduled triangular solves). No per-step host round-trips.
+    ``device="auto"``: device only while the factors' sequential-step count
+    (``DeviceSparseLU.seq_steps``) stays under ``max_seq_steps`` — SuperLU
+    FULL factors at >=100K nodes have thousands of dependency levels, and
+    the device apply degenerates to ~seconds/step (each level/chunk pays
+    fixed gather/scatter overhead) while the host substitution takes ~10 ms;
+    above the bound this falls back to the host loop with a telemetry note
+    in ``stats``.
     """
     from gmres_tpu.models.dc import dc_solve
 
@@ -76,11 +84,26 @@ def transient_direct(
     x = dc_solve(mna, method="direct") if x0 is None else np.asarray(x0)
     dc = x.copy()
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
+    routed = None
+    lu_dev = None
+    if device == "auto":
+        from gmres_tpu.solvers.direct import DeviceSparseLU
+
+        lu_dev = DeviceSparseLU.build(A, dtype=dtype)
+        device = lu_dev.seq_steps <= max_seq_steps
+        if not device:
+            routed = {
+                "device_lu_routed": "host",
+                "device_lu_seq_steps": int(lu_dev.seq_steps),
+                "device_lu_max_seq_steps": int(max_seq_steps),
+            }
+            lu_dev = None
     if device:
         from gmres_tpu.ops.spmv import device_operator
         from gmres_tpu.solvers.direct import DeviceSparseLU
 
-        lu_dev = DeviceSparseLU.build(A, dtype=dtype)
+        if lu_dev is None:
+            lu_dev = DeviceSparseLU.build(A, dtype=dtype)
         Bop = device_operator(mna.B, dtype=dtype)
         Chop = device_operator(Ch, dtype=dtype)
         Ud = jnp.asarray(U, dtype=dtype)
@@ -114,7 +137,8 @@ def transient_direct(
     for k in range(U.shape[0]):
         x = lu.solve(Bs @ U[k] + Chs @ x)
         out[k] = x[ports]
-    return PgTransientResult(times=times, port_values=out, dc=dc)
+    return PgTransientResult(times=times, port_values=out, dc=dc,
+                             stats=routed)
 
 
 @jax.jit
@@ -175,6 +199,12 @@ def transient_gmres(
 
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
     precond = resolve_precond(precond, A)
+    if precond == "saddle" and transform == "auto":
+        # the constraint-Schur preconditioner eliminates the zero-diagonal
+        # branch rows exactly — no factorization, hence no reordering or
+        # equilibration to stage (measured: Ruiz changes 284 -> 277 iters
+        # on the 20K fixture, not worth the extra gathers per apply)
+        transform = "none"
     x = dc_solve(mna, method=dc_method) if x0 is None else np.asarray(x0)
     dc = x.copy()
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)

@@ -694,6 +694,39 @@ class HybridMatrix:
         return self.dia.data.dtype
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["inner", "gather_in", "gather_out"],
+    meta_fields=["shape", "logical_n"],
+)
+@dataclasses.dataclass(frozen=True)
+class PermutedMatrix:
+    """y = A @ x computed through a privately-reordered inner operator:
+    ``inner`` stores P A Pᵀ, so y = Pᵀ (inner @ (P x)) — two O(n) gathers
+    around whatever format the permuted sparsity fits (the slab's window
+    envelope, after RCM banding). The caller's vector basis is untouched."""
+
+    inner: object
+    gather_in: jax.Array   # (n,) int32 — applies P
+    gather_out: jax.Array  # (n,) int32 — applies Pᵀ
+    shape: Tuple[int, int]
+    logical_n: int
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+
+@_spmv_dispatch.register(PermutedMatrix)
+def _permuted_spmv_dispatch(A, x):
+    xp = jnp.take(x, A.gather_in, axis=0)
+    pad = A.inner.shape[1] - xp.shape[0]
+    if pad > 0:
+        xp = jnp.concatenate([xp, jnp.zeros((pad,), xp.dtype)])
+    y = _spmv_dispatch(A.inner, xp)[: A.shape[0]]
+    return jnp.take(y, A.gather_out, axis=0)
+
+
 def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
               max_diags: int = 96, min_coverage: float = 0.5,
               tiles_per_step: int = 16, promote_min=None):
@@ -761,15 +794,45 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     # 0.04 Gnnz/s at 8 nnz/chunk vs COO segment-sum's flat ~16 ns/nnz),
     # so scatter-add COO wins outright until the remainder is big enough
     # that chunk occupancy recovers. COO takes priority over the slab for
-    # small remainders (not just as the slab's fallback).
+    # small remainders (not just as the slab's fallback). Large remainders
+    # with a footprint too wide for the slab (real netlists: discovery-
+    # order node numbering scatters one layer's couplings over 100K+
+    # offsets) take a PRIVATE RCM ordering — the remainder's permutation
+    # never touches the dense-diagonal part or the caller's vector basis,
+    # it just bands the slab's windows; two O(n) gathers per apply.
+    rest = None
     if rest_csr.nnz <= 65536:
         rest = rest_csr.to_device_coo(dtype=dtype)
     else:
         rest = to_well_slab(rest_csr, dtype=dtype,
                             tiles_per_step=tiles_per_step)
         if rest is None:
-            rest = to_well(rest_csr, dtype=dtype,
-                           tiles_per_step=tiles_per_step)
+            from gmres_tpu.ops.reorder import rcm_ordering
+
+            perm = rcm_ordering(rest_csr)
+            Srp = Sr[perm][:, perm].tocsr()
+            W = to_well_slab(CSRMatrix.from_scipy(Srp), dtype=dtype,
+                             tiles_per_step=tiles_per_step)
+            if W is not None:
+                ip = np.empty(N, dtype=np.int64)
+                ip[perm] = np.arange(N)
+                rest = PermutedMatrix(
+                    inner=W,
+                    gather_in=jnp.asarray(perm, jnp.int32),
+                    gather_out=jnp.asarray(ip, jnp.int32),
+                    shape=(N, N),
+                    logical_n=n,
+                )
+        if rest is None:
+            W = to_well(rest_csr, dtype=dtype,
+                        tiles_per_step=tiles_per_step)
+            # v1's window table rides scalar-prefetch SMEM (~1 MB/core):
+            # refuse layouts that cannot compile (measured at 2.1M) and
+            # fall back to exact segment-sum CSR
+            if W.steps * W.chunks_per_step * 40 <= 768 * 1024:
+                rest = W
+            else:
+                rest = rest_csr.to_device_csr(dtype=dtype)
     assert dia.shape[0] == N and rest.shape[0] == N, (dia.shape, rest.shape)
     return HybridMatrix(dia=dia, rest=rest, shape=(N, N), logical_n=n)
 

@@ -16,12 +16,14 @@ Jacobi-sweep triangular solves.
 from gmres_tpu.precond.jacobi import JacobiPrecond, jacobi
 from gmres_tpu.precond.ilu import IluPrecond, IlutpPrecond, ilu0, iluk, ilutp
 from gmres_tpu.precond.ainv import AinvPrecond, ainv
+from gmres_tpu.precond.saddle import SaddlePrecond, saddle
 from gmres_tpu.precond.trisolve import LevelTriSolve, tri_solve_levels
 
 __all__ = [
     "JacobiPrecond", "jacobi",
     "IluPrecond", "IlutpPrecond", "ilu0", "iluk", "ilutp",
     "AinvPrecond", "ainv",
+    "SaddlePrecond", "saddle",
     "LevelTriSolve", "tri_solve_levels",
     "make_preconditioner", "resolve_precond",
 ]
@@ -30,12 +32,14 @@ __all__ = [
 def resolve_precond(name: str, A) -> str:
     """Resolve ``"auto"`` to a concrete preconditioner for this matrix.
 
-    Saddle-point MNA systems (V-source/inductor branch rows -> structurally
-    zero diagonals) defeat unpivoted factorizations and AINV — measured on
-    the 20K-node contest fixture: AINV+transform stalls (mean 276 iters/step,
-    non-converged) while ILUTP converges at ~30 iters/step (MEASUREMENTS r2).
-    Grounded conductance/thermal systems go to AINV (cheapest device apply:
-    two SpMVs, TVLSI §V's robustness pick)."""
+    Saddle-point MNA systems (V-source branch rows -> structurally zero
+    diagonals) defeat unpivoted factorizations and AINV (measured r1-r2:
+    AINV stalls, ILU(k) needs thousands of iterations); they go to the
+    constraint-Schur preconditioner (precond/saddle.py: exact elimination
+    of the branch rows over AINV on the grounded block — no triangular
+    solves, no reordering). Grounded conductance/thermal systems go to
+    plain AINV (cheapest device apply: two SpMVs, TVLSI §V's robustness
+    pick). ILUTP remains available explicitly."""
     name = (name or "none").lower()
     if name != "auto":
         return name
@@ -43,7 +47,7 @@ def resolve_precond(name: str, A) -> str:
 
     diag = A.diagonal() if hasattr(A, "diagonal") else None
     if diag is not None and np.any(np.asarray(diag) == 0.0):
-        return "ilutp"
+        return "saddle"
     return "ainv"
 
 
@@ -60,7 +64,7 @@ def make_preconditioner(name: str, A, **kw):
     builders = {
         "diag": jacobi, "jacobi": jacobi,
         "ilu0": ilu0, "iluk": iluk, "ainv": ainv,
-        "ilutp": ilutp, "ilupp": ilutp,
+        "ilutp": ilutp, "ilupp": ilutp, "saddle": saddle,
     }
     if name not in builders:
         raise ValueError(f"unknown preconditioner {name!r}")

@@ -97,6 +97,21 @@ class DeviceSparseLU:
     def solve(self, b: jax.Array) -> jax.Array:
         return self(b)
 
+    @property
+    def seq_steps(self) -> int:
+        """Sequential dependency steps per apply (levels of the dense
+        layout, chunks of the chunked one, summed over L and U). Each step
+        costs ~50-100 us of XLA gather/scatter overhead on v5e, so this is
+        the per-apply cost model the device/host crossover routes on:
+        measured SuperLU FULL factors of a 100K PG matrix give 5438 levels
+        -> ~13K chunks -> ~1 s/apply, vs ~10 ms for the host substitution
+        (MEASUREMENTS r3). Toy/banded systems stay in the hundreds."""
+        total = 0
+        for s in (self.lsolve, self.usolve):
+            total += getattr(s, "n_chunks", None) or getattr(
+                s, "num_levels", 0)
+        return total
+
 
 class DenseLU:
     """In-graph dense LU with partial pivoting; the TPU analogue of the

@@ -111,13 +111,14 @@ def test_transient_routes_natural_spmv(tmp_path):
 
 def test_precond_auto_selection():
     A_saddle = pg_mna_with_vsrc()
-    assert resolve_precond("auto", A_saddle) == "ilutp"
+    assert resolve_precond("auto", A_saddle) == "saddle"
     from tests.conftest import poisson2d
 
     A_grounded = poisson2d(12)
     assert resolve_precond("auto", A_grounded) == "ainv"
     # explicit names pass through untouched
     assert resolve_precond("iluk", A_saddle) == "iluk"
+    assert resolve_precond("ilutp", A_saddle) == "ilutp"
     assert resolve_precond("none", A_saddle) == "none"
 
 

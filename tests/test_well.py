@@ -238,3 +238,36 @@ def test_hybrid_rejects_scattered():
 
     A = random_sparse(2000, 0.005, seed=1)
     assert to_hybrid(CSRMatrix.from_scipy(A.to_scipy())) is None
+
+
+def test_hybrid_permuted_rest_exact():
+    """A hybrid remainder too wide for the slab envelope (discovery-order
+    node numbering scattering one layer over 100K+ offsets — the 2.1M
+    netlist shape) takes a PRIVATE RCM ordering inside the rest operator
+    (PermutedMatrix); the caller's vector basis is untouched and the
+    product stays exact."""
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from gmres_tpu.ops.spmv import spmv
+    from gmres_tpu.ops.well import PermutedMatrix, to_hybrid
+
+    rng = np.random.default_rng(0)
+    n = 1 << 17
+    main = sp.diags([np.full(n, 4.0), np.full(n - 1, -1.0),
+                     np.full(n - 1, -1.0)], [0, -1, 1])
+    m = 150000  # banded graph under a random relabeling: RCM recovers it
+    rb = rng.integers(0, n, m)
+    cb = np.clip(rb + rng.integers(1, 40, m), 0, n - 1)
+    relab = rng.permutation(n)
+    Sc = sp.coo_matrix((rng.standard_normal(m), (relab[rb], relab[cb])),
+                       shape=(n, n))
+    S = (main + Sc + Sc.T).tocsr()
+    H = to_hybrid(CSRMatrix.from_scipy(S), dtype=jnp.float64,
+                  promote_min=float("inf"))
+    assert isinstance(H.rest, PermutedMatrix)
+    x = rng.standard_normal(H.shape[1])
+    y = np.asarray(spmv(H, jnp.asarray(x)))[:n]
+    yref = S @ x[:n]
+    assert np.linalg.norm(y - yref) / np.linalg.norm(yref) < 1e-12
