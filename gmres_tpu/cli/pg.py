@@ -71,6 +71,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="disable GMRES-IR (plain working-dtype iteration)")
     ap.add_argument("-tol", type=float, default=1e-7)
     ap.add_argument("-restart", type=int, default=32)
+    ap.add_argument("-maxiter", type=int, default=10000,
+                    help="per-solve inner-iteration cap (reference "
+                         "max_it=10^4, gmres_interface_pg.cu:7). Long "
+                         "single dispatches trip the TPU runtime watchdog: "
+                         "bound maxiter*chunk to what the device can run "
+                         "in ~1 min")
     ap.add_argument("-chunk", type=int, default=256, metavar="STEPS",
                     help="dispatch the transient in segments of this many "
                          "steps (bounds per-dispatch device time; 0 = one "
@@ -201,7 +207,8 @@ def main(argv=None) -> int:
 
                 res = transient_gmres(
                     mna, precond=args.precond, dtype=dtype, tol=args.tol,
-                    restart=args.restart, refine=args.refine,
+                    restart=args.restart, maxiter=args.maxiter,
+                    refine=args.refine,
                     chunk_steps=args.chunk, on_chunk=_progress,
                 )
                 it = res.stats["iterations"]

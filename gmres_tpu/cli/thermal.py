@@ -23,7 +23,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="thermal")
     ap.add_argument("gcb_dir", help="directory with A/B/C/u_vec/t_step .mtx")
     ap.add_argument("-precond", default="ilu0",
-                    choices=["none", "diag", "jacobi", "ilu0", "iluk", "ainv"])
+                    choices=["auto", "none", "diag", "jacobi", "ilu0",
+                             "iluk", "ainv"],
+                    help="default ilu0 matches the reference's menu default "
+                         "(main2.cu:55-80); auto resolves to ainv on the "
+                         "grounded thermal systems (cheapest device apply)")
     ap.add_argument("-tol", type=float, default=1e-6)
     ap.add_argument("-restart", type=int, default=32)
     ap.add_argument("-maxiter", type=int, default=60000)
