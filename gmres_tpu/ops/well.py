@@ -52,6 +52,11 @@ __all__ = ["WellMatrix", "to_well", "well_spmv", "well_spmv_reference",
            "well_slab_spmv_reference"]
 
 _LANES = 128
+
+# Hybrid-remainder COO bound: scatter-add segment-sum runs ~16 ns/nnz on
+# v5e, so up to this many scattered entries COO beats every windowed
+# layout (near-empty chunks) while staying ~1 ms.
+_COO_REST_MAX = 65536
 _SLOTS = 8
 
 
@@ -773,7 +778,22 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
         if np.any(cand):
             ci = np.nonzero(cand)[0]
             ci = ci[np.argsort(-counts[ci])][:room]
-            dense = np.concatenate([dense, diag[ci]])
+            # Promotion economics (measured v5e): a promoted diagonal
+            # costs one n-length padded lane read per SpMV plus n*4B of
+            # HBM, and saves its cnt entries at the COO remainder's
+            # ~16 ns/nnz — a trade that only exists when the remainder
+            # actually lands on COO. If the remainder stays above the COO
+            # bound even with every candidate promoted, sub-percent-dense
+            # promotions are pure bandwidth/memory waste (measured at
+            # 524K discovery-order: 92 promoted 0.15%-dense diagonals =
+            # 194 MB of padding with the gather path still required), so
+            # restrict promotion to >=5%-dense diagonals there.
+            rest_after = A.nnz - counts[np.isin(diag, dense)].sum() \
+                - counts[ci].sum()
+            if rest_after > _COO_REST_MAX:
+                ci = ci[counts[ci] >= max(promote_min, n // 20)]
+            if ci.size:
+                dense = np.concatenate([dense, diag[ci]])
     cov = counts[np.isin(diag, dense)].sum() / A.nnz
     if cov < min_coverage:
         return None
@@ -801,7 +821,7 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     # never touches the dense-diagonal part or the caller's vector basis,
     # it just bands the slab's windows; two O(n) gathers per apply.
     rest = None
-    if rest_csr.nnz <= 65536:
+    if rest_csr.nnz <= _COO_REST_MAX:
         rest = rest_csr.to_device_coo(dtype=dtype)
     else:
         rest = to_well_slab(rest_csr, dtype=dtype,

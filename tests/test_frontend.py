@@ -225,3 +225,69 @@ def test_native_parser_rejects_malformed_values(tmp_path, badval):
     except (ValueError, RuntimeError):
         return  # rejected, as required
     pytest.fail(f"native parser accepted malformed value {badval!r}")
+
+
+# ---- geometric node ordering (load-time renumbering) ----
+
+
+def test_geometric_order_recovers_grid_diagonals(tmp_path):
+    """Discovery-order numbering on a layered grid scatters one plane's
+    couplings over thousands of offsets; geometric renumbering (sort by
+    the nL_i_j coordinate tuple, the IBM PG contest name convention)
+    collapses them to a handful of dense diagonals (measured at 524K:
+    154,766 offsets -> 137)."""
+    import numpy as np
+
+    from gmres_tpu.frontend.fixtures import write_pg_netlist
+    from gmres_tpu.frontend.mna import load_netlist
+
+    net = tmp_path / "grid.sp"
+    write_pg_netlist(net, nx=24, layers=2, pad_pitch=12, via_pitch=4,
+                     tstep=1e-10, tstop=3e-10)
+
+    def ndiags(mna):
+        A = mna.G
+        rows = np.repeat(np.arange(A.shape[0]), A.row_lengths())
+        return np.unique(A.indices.astype(np.int64) - rows).size
+
+    nat = load_netlist(str(net), order="natural")
+    geo = load_netlist(str(net))
+    assert ndiags(geo) < ndiags(nat)
+    # the two dominant intra-plane offsets must be +-1 and +-nx
+    A = geo.G
+    rows = np.repeat(np.arange(A.shape[0]), A.row_lengths())
+    off, cnt = np.unique(A.indices.astype(np.int64) - rows,
+                         return_counts=True)
+    top = set(off[np.argsort(-cnt)][:5].tolist())
+    assert {0, 1, -1, 24, -24} == top
+
+
+def test_geometric_order_transient_invariant(tmp_path):
+    """Renumbering is a pure similarity transform: port waveforms match
+    the natural-order run to solver precision."""
+    import numpy as np
+
+    from gmres_tpu.frontend.fixtures import write_pg_netlist
+    from gmres_tpu.frontend.mna import load_netlist
+    from gmres_tpu.models.transient import transient_direct
+
+    net = tmp_path / "grid.sp"
+    write_pg_netlist(net, nx=10, layers=2, pad_pitch=5, tstep=1e-10,
+                     tstop=5e-10)
+    nat = load_netlist(str(net), order="natural")
+    geo = load_netlist(str(net))
+    assert nat.port_names == geo.port_names
+    rn = transient_direct(nat)
+    rg = transient_direct(geo)
+    np.testing.assert_allclose(rg.port_values, rn.port_values,
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_geometric_order_declines_unstructured_names():
+    from gmres_tpu.frontend.mna import geometric_node_order
+
+    idx = {"vdd": 0, "out": 1, "in": 2, "mid": 3}
+    assert geometric_node_order(idx, 4) is None
+    # already-sorted structured names: no-op permutation -> None
+    idx2 = {f"n0_{i}_{j}": i * 3 + j for i in range(3) for j in range(3)}
+    assert geometric_node_order(idx2, 9) is None
