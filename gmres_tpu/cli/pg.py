@@ -77,6 +77,14 @@ def build_argparser() -> argparse.ArgumentParser:
                          "single dispatches trip the TPU runtime watchdog: "
                          "bound maxiter*chunk to what the device can run "
                          "in ~1 min")
+    ap.add_argument("-dcmethod", default="direct",
+                    choices=["direct", "gmres"],
+                    help="DC operating-point solver seeding the transient: "
+                         "host sparse LU (mna_solve.cpp DC semantics) or "
+                         "device GMRES (the reference's -gmres path also "
+                         "solves DC iteratively on the device, "
+                         "mna_solve_gpu_gmres.cpp:529-538); host LU fill "
+                         "dominates setup at multi-million nodes")
     ap.add_argument("-chunk", type=int, default=256, metavar="STEPS",
                     help="dispatch the transient in segments of this many "
                          "steps (bounds per-dispatch device time; 0 = one "
@@ -208,7 +216,7 @@ def main(argv=None) -> int:
                 res = transient_gmres(
                     mna, precond=args.precond, dtype=dtype, tol=args.tol,
                     restart=args.restart, maxiter=args.maxiter,
-                    refine=args.refine,
+                    refine=args.refine, dc_method=args.dcmethod,
                     chunk_steps=args.chunk, on_chunk=_progress,
                 )
                 it = res.stats["iterations"]
