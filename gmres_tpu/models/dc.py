@@ -28,6 +28,7 @@ def dc_solve(
     tol: float = 1e-10,
     restart: int = 50,
     maxiter: int = 20000,
+    dispatch_iters: int = 2000,
 ) -> np.ndarray:
     """Returns the DC state vector x (node voltages + branch currents).
 
@@ -53,11 +54,30 @@ def dc_solve(
             tr = SystemTransform.build(G)
             G, b = tr.mat(G), tr.rhs_to(b)
         M = make_preconditioner(precond, G, dtype=dtype, fmt="auto")
-        res = gmres(
-            device_operator(G, dtype=dtype),
-            jnp.asarray(b, dtype=dtype),
-            restart=restart, tol=tol, maxiter=maxiter, M_left=M,
-        )
+        Gop = device_operator(G, dtype=dtype)
+        bd = jnp.asarray(b, dtype=dtype)
+        # Bounded dispatches: one XLA program running for multiple minutes
+        # kills the tunneled TPU worker (watchdog — see MEASUREMENTS.md
+        # "Device watchdog"). A cold-start DC solve at 2.1M rows in f64 can
+        # legitimately need thousands of iterations (~10 ms each), so the
+        # iteration budget is spent in warm-restarted chunks; each chunk is
+        # a single device program, the host only sees the converged flag.
+        chunk = max(restart, min(int(dispatch_iters), maxiter))
+        x0g = None
+        res = None
+        spent = 0
+        while spent < maxiter:
+            res = gmres(Gop, bd, x0=x0g, restart=restart, tol=tol,
+                        maxiter=min(chunk, maxiter - spent), M_left=M)
+            it = int(res.iterations)
+            spent += max(it, 1)
+            if bool(res.converged):
+                break
+            if it < chunk:
+                # the solver gave up before its budget (stall guard /
+                # breakdown) — another warm restart would re-stall
+                break
+            x0g = res.x
         if not bool(res.converged):
             raise RuntimeError(
                 f"DC GMRES failed to converge: residual={float(res.residual)}"

@@ -127,10 +127,12 @@ def stencil_matrix(A, dtype=jnp.float32, max_diags: int = 96):
     except Exception:
         return None
     if ndiags <= max_diags:
-        return A.to_dia(dtype=dtype, pad_to=1024, max_diags=max_diags)
+        return _route(A, A.to_dia(dtype=dtype, pad_to=1024,
+                                  max_diags=max_diags))
     from gmres_tpu.ops.well import to_hybrid
 
-    return to_hybrid(A, dtype=dtype, max_diags=max_diags)
+    H = to_hybrid(A, dtype=dtype, max_diags=max_diags)
+    return None if H is None else _route(A, H)
 
 
 # Routing telemetry: every device_matrix decision is appended here as

@@ -164,10 +164,24 @@ class MgPrecond:
 
 def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 4096,
        omega: float = 0.67, nu: int = 1,
-       max_levels: int = 16, with_host: bool = False):
+       max_levels: int = 16, with_host: bool = False,
+       validate: bool = True, max_contraction: float = 0.5):
     """Build the V-cycle hierarchy, or None when A has no grid structure
     (caller falls back to AINV). Host setup is a chain of sparse PᵀAP
     products (O(nnz) each, halving per level).
+
+    ``validate``: probe the finished cycle as a stationary iteration on a
+    random RHS (4 cycles, host f64) and return None unless the per-cycle
+    residual contraction is <= ``max_contraction``. Geometric coarsening
+    with piecewise-constant transfers is only a good coarse model when the
+    coefficient field is smooth: thermal FD cubes contract at ~0.1-0.2 per
+    cycle, but PG planes (lognormal segment conductances, mΩ pad anchors,
+    layer stacks glued by sparse vias) stagnate near 1 — measured 0.67 and
+    0.87 asymptotic on 2-layer/1-layer contest fixtures, which plateaus
+    GMRES at ~1e-5 true residual (the DC solve at 2.1M then *diverges* in
+    the left-preconditioned norm). The probe costs ~10 SpMV-equivalents on
+    the host, once, at build time; weak hierarchies fall back to AINV in
+    every caller (make_preconditioner, saddle).
 
     ``with_host``: also return a NumPy/f64 multi-RHS apply with identical
     cycle semantics — for host-side uses like the saddle Schur build
@@ -178,7 +192,7 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 4096,
     if dims0 is None:
         return (None, None) if with_host else None
     S = A.to_scipy().tocsr().astype(np.float64)
-    ops, inv_diags, dims_meta, factors_meta, tails = [], [], [], [], []
+    dims_meta, factors_meta, tails = [], [], []
     host_S, host_P, host_d = [], [], []
     dims = dims0
     for _ in range(max_levels):
@@ -188,8 +202,6 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 4096,
             break
         d = S.diagonal()
         d = np.where(d != 0.0, d, 1.0)
-        ops.append(device_operator(CSRMatrix.from_scipy(S), dtype=dtype))
-        inv_diags.append(jnp.asarray(1.0 / d, dtype=dtype))
         ngrid = dims[0] * dims[1] * dims[2]
         dims_meta.append(dims)
         factors_meta.append(f)
@@ -205,18 +217,6 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 4096,
         # never materialize a >1 GB dense coarse inverse
         return (None, None) if with_host else None
     coarse = np.linalg.inv(S.toarray())
-    M = MgPrecond(
-        ops=tuple(ops),
-        inv_diags=tuple(inv_diags),
-        coarse_inv=jnp.asarray(coarse, dtype=dtype),
-        dims=tuple(dims_meta),
-        factors=tuple(factors_meta),
-        tails=tuple(tails),
-        omega=float(omega),
-        nu=int(nu),
-    )
-    if not with_host:
-        return M
 
     def host_cycle(l, B):
         if l == len(host_S):
@@ -230,6 +230,39 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 4096,
         for _ in range(nu):
             X = X + omega * dl[:, None] * (B - Sl @ X)
         return X
+
+    if validate and host_S:
+        S0 = host_S[0]
+        b = np.random.default_rng(0).standard_normal((S0.shape[0], 1))
+        b /= np.linalg.norm(b)
+        x = np.zeros_like(b)
+        r = b
+        cycles = 4
+        for _ in range(cycles):
+            x = x + host_cycle(0, r)
+            r = b - S0 @ x
+        rho = float(np.linalg.norm(r)) ** (1.0 / cycles)
+        if not np.isfinite(rho) or rho > max_contraction:
+            return (None, None) if with_host else None
+
+    # device hierarchy only after the probe passes (no wasted transfers)
+    ops = tuple(
+        device_operator(CSRMatrix.from_scipy(Sl), dtype=dtype)
+        for Sl in host_S
+    )
+    inv_diags = tuple(jnp.asarray(dl, dtype=dtype) for dl in host_d)
+    M = MgPrecond(
+        ops=ops,
+        inv_diags=inv_diags,
+        coarse_inv=jnp.asarray(coarse, dtype=dtype),
+        dims=tuple(dims_meta),
+        factors=tuple(factors_meta),
+        tails=tuple(tails),
+        omega=float(omega),
+        nu=int(nu),
+    )
+    if not with_host:
+        return M
 
     def host_apply(B: np.ndarray) -> np.ndarray:
         B = np.asarray(B, dtype=np.float64)

@@ -153,3 +153,53 @@ def test_saddle_with_mg_core_matches_oracle(tmp_path):
     assert np.abs(x - x_ref).max() / np.abs(x_ref).max() < 1e-3
     assert int(res.iterations) < 500, int(res.iterations)
     del transient_direct  # imported for parity with other engine tests
+
+
+def test_probe_rejects_heterogeneous_coefficients():
+    """The build-time contraction probe must reject coefficient fields
+    where piecewise-constant coarsening stagnates (PG planes: lognormal
+    segment conductances + mOhm pad anchors — measured 0.67-0.87 per-cycle
+    asymptotic contraction, which plateaus GMRES at ~1e-5 and diverges the
+    2.1M DC solve), while keeping smooth fields (thermal FD cubes)."""
+    import scipy.sparse as sp
+
+    from gmres_tpu.ops.formats import CSRMatrix
+    from gmres_tpu.precond.mg import mg
+
+    rng = np.random.default_rng(0)
+    nx = 128
+    n = nx * nx
+
+    def resistor_mesh(sigma):
+        # lognormal edge conductances on a 2-D grid + a few huge anchors
+        gx = np.exp(rng.normal(0.0, sigma, (nx, nx - 1))) * 25.0
+        gy = np.exp(rng.normal(0.0, sigma, (nx - 1, nx))) * 25.0
+        rows, cols, vals = [], [], []
+
+        def add(i, j, g):
+            rows.extend([i, j, i, j]); cols.extend([j, i, i, j])
+            vals.extend([-g, -g, g, g])
+
+        idx = np.arange(n).reshape(nx, nx)
+        for i in range(nx):
+            for j in range(nx - 1):
+                add(idx[i, j], idx[i, j + 1], gx[i, j])
+        for i in range(nx - 1):
+            for j in range(nx):
+                add(idx[i, j], idx[i + 1, j], gy[i, j])
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        d = np.zeros(n)
+        d[:: nx * 8] = 500.0 if sigma > 0 else 1.0   # pad-like anchors
+        return CSRMatrix.from_scipy((A + sp.diags(d + 1e-3)).tocsr())
+
+    assert mg(resistor_mesh(2.0), n_coarse=256) is None
+
+    # acceptance half: the 3-D thermal FD class stays in (probe rho
+    # measured 0.36-0.46 vs the 0.5 gate; PG planes measure 0.67-0.87)
+    nc = 24
+    e = np.ones(nc)
+    T = sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1])
+    I = sp.eye(nc)
+    A3 = (sp.kron(sp.kron(I, I), T) + sp.kron(sp.kron(I, T), I)
+          + sp.kron(sp.kron(T, I), I) + 0.05 * sp.eye(nc ** 3))
+    assert mg(CSRMatrix.from_scipy(A3.tocsr()), n_coarse=256) is not None
