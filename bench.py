@@ -351,6 +351,33 @@ def main():
             })
         except Exception as e:  # noqa: BLE001
             extra["gmres_ainv_error"] = f"{type(e).__name__}: {e}"
+        try:  # thermal 2.1M, geometric multigrid ('-precond auto' picks
+            # this on grid-structured grounded systems >=32K rows):
+            # O(1)-in-n iteration counts where jacobi/AINV grow with nx
+            import scipy.sparse as sp
+
+            from gmres_tpu.precond import make_preconditioner
+
+            e1 = np.ones(nx)
+            T3 = sp.diags([-e1[:-1], 2 * e1, -e1[:-1]], [-1, 0, 1])
+            I3 = sp.eye(nx)
+            S3 = (sp.kron(sp.kron(I3, I3), T3) + sp.kron(sp.kron(I3, T3), I3)
+                  + sp.kron(sp.kron(T3, I3), I3)).tocsr()
+            t0 = time.perf_counter()
+            Mm = make_preconditioner("mg", CSRMatrix.from_scipy(S3),
+                                     dtype=jnp.float32, fmt="auto")
+            setup_s = time.perf_counter() - t0
+            res, solve_s, iters = bench_gmres(jax, Aop_g, bd, Mm, disp)
+            extra.update({
+                "gmres_mg_time_to_tol_s": solve_s,
+                "gmres_mg_iters": iters,
+                "gmres_mg_setup_s": setup_s,
+                "gmres_mg_true_rel": true_rel(res.x),
+                "gmres_mg_converged": bool(res.converged),
+                "gmres_mg_precond": type(Mm).__name__,
+            })
+        except Exception as e:  # noqa: BLE001
+            extra["gmres_mg_error"] = f"{type(e).__name__}: {e}"
         try:  # 100K natural-order PG on the hybrid router + the production
             # '-precond auto' choice (ainv: no zero diagonals here)
             from gmres_tpu.ops.spmv import device_matrix
