@@ -47,6 +47,18 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def to_device(x, dtype) -> jax.Array:
+    """Host->device transfer with the dtype narrowing done in NumPy.
+
+    ``jnp.asarray(x, dtype=float64)`` in a non-x64 process truncates to f32
+    *and* emits a UserWarning per call site. Canonicalizing first makes the
+    truncation explicit (one host-side cast) and the transfer warning-free;
+    under x64 (GMRES-IR, CPU oracles) f64 passes through untouched.
+    """
+    cdt = jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+    return jnp.asarray(np.asarray(x, dtype=cdt))
+
+
 # ---------------------------------------------------------------------------
 # Host formats (NumPy)
 # ---------------------------------------------------------------------------
@@ -229,7 +241,7 @@ class CSRMatrix:
         data[rows, offs] = self.data
         cols[rows, offs] = self.indices
         return EllMatrix(
-            data=jnp.asarray(data, dtype=dtype),
+            data=to_device(data, dtype),
             cols=jnp.asarray(cols),
             shape=self.shape,
         )
@@ -258,7 +270,7 @@ class CSRMatrix:
         dpos = np.searchsorted(offsets, offsets_all)
         data[dpos, rows] = self.data
         return DiaMatrix(
-            data=jnp.asarray(data, dtype=dtype),
+            data=to_device(data, dtype),
             offsets=tuple(int(o) for o in offsets),
             shape=(n_pad, n_pad),
             logical_n=n,
@@ -270,7 +282,7 @@ class CSRMatrix:
         return DeviceCOO(
             rows=jnp.asarray(rows, dtype=jnp.int32),
             cols=jnp.asarray(self.indices),
-            vals=jnp.asarray(self.data, dtype=dtype),
+            vals=to_device(self.data, dtype),
             shape=self.shape,
         )
 
@@ -278,7 +290,7 @@ class CSRMatrix:
         return DeviceCSR(
             indptr=jnp.asarray(self.indptr),
             indices=jnp.asarray(self.indices),
-            data=jnp.asarray(self.data, dtype=dtype),
+            data=to_device(self.data, dtype),
             shape=self.shape,
         )
 

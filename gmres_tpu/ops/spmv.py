@@ -174,9 +174,10 @@ def device_matrix(A, dtype=jnp.float32, backend=None, max_diags: int = 96):
     if A.nnz * 16 < n_rows:
         return _route(A, A.to_device_coo(dtype=dtype))
     if backend == "tpu":
+        # stencil_matrix already logged the routing decision — don't log twice
         S = stencil_matrix(A, dtype=dtype, max_diags=max_diags)
         if S is not None:
-            return _route(A, S)
+            return S
         from gmres_tpu.ops.well import to_well, to_well_slab
 
         # v2 slab layout when the matrix fits its envelope (RCM-clustered

@@ -45,7 +45,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gmres_tpu.ops.formats import CSRMatrix, round_up
+from gmres_tpu.ops.formats import CSRMatrix, round_up, to_device
 
 __all__ = ["WellMatrix", "to_well", "well_spmv", "well_spmv_reference",
            "WellSlabMatrix", "to_well_slab", "well_slab_spmv",
@@ -507,7 +507,7 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
     assert gi == ngroups
 
     return WellSlabMatrix(
-        vals=jnp.asarray(Vg, dtype=dtype),
+        vals=to_device(Vg, dtype),
         lcols=jnp.asarray(Cg),
         widx=jnp.asarray(Wg),
         lrow=jnp.asarray(Lg),
@@ -516,7 +516,7 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
         base=jnp.asarray(gbase),
         spill_rows=jnp.asarray(sp_rows.astype(np.int32)),
         spill_cols=jnp.asarray(sp_cols.astype(np.int32)),
-        spill_vals=jnp.asarray(sp_vals, dtype=dtype),
+        spill_vals=to_device(sp_vals, dtype),
         shape=W1.shape,
         logical_n=W1.logical_n,
         tiles_per_step=tiles_per_step,

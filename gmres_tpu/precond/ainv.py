@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.formats import CSRMatrix, EllMatrix
+from gmres_tpu.ops.formats import CSRMatrix, EllMatrix, to_device
 from gmres_tpu.ops.spmv import ell_spmv
 
 __all__ = ["AinvPrecond", "ainv", "ainv_factor"]
@@ -239,5 +239,5 @@ def ainv(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
     return AinvPrecond(
         Z=Zd,
         Wt=Wd,
-        inv_d=jnp.asarray(inv_d, dtype=dtype),
+        inv_d=to_device(inv_d, dtype),
     )

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.formats import CSRMatrix
+from gmres_tpu.ops.formats import CSRMatrix, to_device
 
 __all__ = ["JacobiPrecond", "jacobi"]
 
@@ -36,4 +36,4 @@ class JacobiPrecond:
 def jacobi(A: CSRMatrix, dtype=jnp.float32) -> JacobiPrecond:
     d = A.diagonal()
     d = np.where(np.abs(d) > 0, d, 1.0)
-    return JacobiPrecond(inv_diag=jnp.asarray(1.0 / d, dtype=dtype))
+    return JacobiPrecond(inv_diag=to_device(1.0 / d, dtype))

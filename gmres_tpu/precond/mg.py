@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.formats import CSRMatrix
+from gmres_tpu.ops.formats import CSRMatrix, to_device
 
 __all__ = ["MgPrecond", "mg", "infer_grid"]
 
@@ -237,11 +237,21 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 4096,
         b /= np.linalg.norm(b)
         x = np.zeros_like(b)
         r = b
-        cycles = 4
+        # Estimate the ASYMPTOTIC contraction: discard the first cycle
+        # (zero-guess transients contract fast on any hierarchy) and take
+        # the geometric mean over the tail — a hierarchy with rho ~0.7-0.9
+        # asymptotic (measured on PG planes) must not pass on its initial
+        # burst and then plateau the GMRES it preconditions.
+        cycles = 6
+        norms = []
         for _ in range(cycles):
             x = x + host_cycle(0, r)
             r = b - S0 @ x
-        rho = float(np.linalg.norm(r)) ** (1.0 / cycles)
+            norms.append(float(np.linalg.norm(r)))
+        if norms[0] == 0.0:
+            rho = 0.0
+        else:
+            rho = (norms[-1] / norms[0]) ** (1.0 / (cycles - 1))
         if not np.isfinite(rho) or rho > max_contraction:
             return (None, None) if with_host else None
 
@@ -250,11 +260,11 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 4096,
         device_operator(CSRMatrix.from_scipy(Sl), dtype=dtype)
         for Sl in host_S
     )
-    inv_diags = tuple(jnp.asarray(dl, dtype=dtype) for dl in host_d)
+    inv_diags = tuple(to_device(dl, dtype) for dl in host_d)
     M = MgPrecond(
         ops=ops,
         inv_diags=inv_diags,
-        coarse_inv=jnp.asarray(coarse, dtype=dtype),
+        coarse_inv=to_device(coarse, dtype),
         dims=tuple(dims_meta),
         factors=tuple(factors_meta),
         tails=tuple(tails),

@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.formats import CSRMatrix
+from gmres_tpu.ops.formats import CSRMatrix, to_device
 
 __all__ = ["SaddlePrecond", "saddle", "branch_rows"]
 
@@ -175,7 +175,7 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
         else:
             Zd = Z.to_ell(dtype=dtype)
             Wd = Wt.to_ell(dtype=dtype)
-        Mg = AinvPrecond(Z=Zd, Wt=Wd, inv_d=jnp.asarray(inv_d, dtype=dtype))
+        Mg = AinvPrecond(Z=Zd, Wt=Wd, inv_d=to_device(inv_d, dtype))
         Zs, Wts = Z.to_scipy(), Wt.to_scipy()
         MgAgj = Zs @ sp.diags(inv_d) @ (Wts @ Agj)
         S_dense = (Ajg @ MgAgj).toarray() - Ajj
@@ -204,7 +204,7 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
         Mg=Mg,
         Agj=thin(Agj),
         Ajg=thin(Ajg),
-        S_inv=jnp.asarray(S_inv, dtype=dtype),
+        S_inv=to_device(S_inv, dtype),
         g_gather=jnp.asarray(Gi, jnp.int32),
         j_gather=jnp.asarray(J, jnp.int32),
         g_scatter=jnp.asarray(g_scatter, jnp.int32),

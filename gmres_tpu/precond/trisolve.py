@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gmres_tpu.ops.formats import CSRMatrix
+from gmres_tpu.ops.formats import CSRMatrix, to_device
 from gmres_tpu.ops.reorder import lower_levels, upper_levels
 
 __all__ = ["LevelTriSolve", "tri_solve_levels", "JacobiTriSolve",
@@ -261,7 +261,7 @@ def tri_solve_chunked(T: CSRMatrix, lower: bool, dtype=jnp.float32,
             fin_rows[c, : rows_c.size] = rows_c
 
     return ChunkedTriSolve(
-        sub_data=jnp.asarray(sub_data, dtype=dtype),
+        sub_data=to_device(sub_data, dtype),
         sub_cols=jnp.asarray(sub_cols),
         sub_parent=jnp.asarray(sub_parent),
         fin_rows=jnp.asarray(fin_rows),

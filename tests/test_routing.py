@@ -18,6 +18,8 @@ Telemetry: every routing decision is recorded in
 reference, main2.cu:198-208).
 """
 
+import os
+import tempfile
 import numpy as np
 import pytest
 
@@ -82,10 +84,7 @@ def test_discovery_order_documented_escape_hatch(pg_mna):
         sp = m.G.to_scipy().tocoo()
         return np.unique(sp.col.astype(np.int64) - sp.row.astype(np.int64)).size
 
-    import os
-    src = None
     # rebuild the same netlist in discovery order for comparison
-    import tempfile
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "pg.sp")
         write_pg_netlist(p, nx=50, layers=2, seed=3)
