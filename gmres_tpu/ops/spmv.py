@@ -126,13 +126,26 @@ def stencil_matrix(A, dtype=jnp.float32, max_diags: int = 96):
         ndiags = _np.unique(A.indices.astype(_np.int64) - rows).size
     except Exception:
         return None
-    if ndiags <= max_diags:
+    # Pure DIA only when the diagonal slab is actually full: every stored
+    # diagonal costs an n-length data read per SpMV whether it carries 1
+    # entry or n. The 2.1M contest fixture has 96 distinct offsets of which
+    # ~9 carry 99.9% of the nnz — a pure-DIA pack reads ~800 MB/SpMV for
+    # 8.8M real nnz (measured 0.67 ms; the hybrid's pruned slab cuts the
+    # dead-diagonal bandwidth). Low-fill slabs route through to_hybrid,
+    # which keeps dense + promotion-worthy diagonals and scatters the rest.
+    fill = A.nnz / max(ndiags * n_rows, 1)
+    if ndiags <= max_diags and (ndiags <= 16 or fill >= 0.25):
         return _route(A, A.to_dia(dtype=dtype, pad_to=1024,
                                   max_diags=max_diags))
     from gmres_tpu.ops.well import to_hybrid
 
     H = to_hybrid(A, dtype=dtype, max_diags=max_diags)
-    return None if H is None else _route(A, H)
+    if H is not None:
+        return _route(A, H)
+    if ndiags <= max_diags:
+        return _route(A, A.to_dia(dtype=dtype, pad_to=1024,
+                                  max_diags=max_diags))
+    return None
 
 
 # Routing telemetry: every device_matrix decision is appended here as

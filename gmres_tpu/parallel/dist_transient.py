@@ -65,6 +65,7 @@ class DistTransientResult(NamedTuple):
     residuals: np.ndarray     # (steps,)
     converged: bool
     comm: str                 # A-SpMV comm class (HaloShardedOp / ...)
+    stats: Optional[dict] = None  # setup-phase wall-clock split
 
 
 def _row_ell(S, perm, n_padded, dtype):
@@ -100,6 +101,7 @@ def dist_transient_gmres(
     comm: str = "halo",
     dc_method: str = "direct",
     equilibrate: bool = True,
+    chunk_steps: int = 256,
 ) -> DistTransientResult:
     """Run the full-MNA transient row-sharded over ``mesh``.
 
@@ -115,12 +117,29 @@ def dist_transient_gmres(
     sharding (no permutation, so the partition/halo machinery is
     untouched) and rescues the block preconditioners on MNA saddle-point
     rows, exactly as SystemTransform does for the single-chip engine.
+    Host-side f64 rebuild cost is reported in ``stats["equilibrate_s"]``.
+
+    ``dc_method``: "gmres" seeds the transient from a device GMRES DC solve
+    (the reference's GPU engine likewise solves DC on-device before the
+    time loop, mna_solve_gpu_gmres.cpp:529-538); "direct" = host sparse LU,
+    whose fill dominates setup at multi-million nodes (measured 669 s at
+    2.1M, MEASUREMENTS r3).
+
+    ``chunk_steps``: dispatch the scan in segments of this many steps
+    (0 = one program over all steps). Bounds per-dispatch device time —
+    long transients in one XLA program trip the TPU runtime watchdog; the
+    single-chip engine chunks for the same reason (models/thermal.py).
     """
     from gmres_tpu.models.dc import dc_solve
     from gmres_tpu.models.transient import _prep
 
+    import time as _time
+
+    stats = {}
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
+    t0 = _time.perf_counter()
     x_host = dc_solve(mna, method=dc_method) if x0 is None else np.asarray(x0)
+    stats["dc_s"] = _time.perf_counter() - t0
     ports = mna.ports if mna.ports.size else np.arange(
         min(mna.num_nodes, 16))
 
@@ -129,6 +148,7 @@ def dist_transient_gmres(
     if equilibrate:
         from gmres_tpu.precond.milu import ruiz_equilibrate
 
+        t0 = _time.perf_counter()
         dr, dc_scale = ruiz_equilibrate(A)
         scale = lambda S, c=True: CSRMatrix.from_scipy(
             (S.to_scipy().astype(np.float64).multiply(dr[:, None])
@@ -138,7 +158,9 @@ def dist_transient_gmres(
         B = CSRMatrix.from_scipy(
             B.to_scipy().astype(np.float64).multiply(dr[:, None]).tocsr())
         x_host = np.asarray(x_host, np.float64) / dc_scale
+        stats["equilibrate_s"] = _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     base = DistGmresSolver(A, mesh, precond=precond, dtype=dtype,
                            restart=restart, tol=tol, maxiter=maxiter,
                            axis=axis, comm=comm)
@@ -170,6 +192,7 @@ def dist_transient_gmres(
     rpd = part.rows_per_dev
     ports_arr = jnp.asarray(ports_p, jnp.int32)
 
+    stats["solver_setup_s"] = _time.perf_counter() - t0
     Ud = jnp.asarray(U, dtype=dtype)
     x0d = base.device_rhs(x_host)
     tol_d = jnp.asarray(tol, dtype)
@@ -179,7 +202,7 @@ def dist_transient_gmres(
     in_specs = (rep, vec_spec, rep, rep,
                 row_specs(base.Aop, axis), row_specs(base.Ml, axis),
                 row_specs(Chop, axis), row_specs(Bop, axis))
-    out_specs = (rep, rep, rep, rep)
+    out_specs = (vec_spec, rep, rep, rep, rep)
 
     def body(U_r, x_l, tol_, ports_r, Aop, Ml, Chl, Bl):
         me = lax.axis_index(axis)
@@ -196,15 +219,39 @@ def dist_transient_gmres(
             pv = lax.psum(pv, axis)
             return res.x, (pv, res.iterations, res.residual, res.converged)
 
-        _, (PV, it, rs, cv) = lax.scan(step, x_l, U_r)
-        return PV, it, rs, cv
+        x_f, (PV, it, rs, cv) = lax.scan(step, x_l, U_r)
+        return x_f, PV, it, rs, cv
 
     runner = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     ))
-    PV, it, rs, cv = runner(Ud, x0d, tol_d, ports_arr,
-                            base.Aop, base.Ml, Chop, Bop)
+    # Chunked dispatch: the final sharded state is the carry between
+    # segments; the tail segment is padded so only one program compiles
+    # (same pattern as the single-chip chunking, models/thermal.py).
+    nsteps = Ud.shape[0]
+    t0 = _time.perf_counter()
+    if chunk_steps and nsteps > chunk_steps:
+        cs = int(chunk_steps)
+        outs = []
+        xc = x0d
+        for k0 in range(0, nsteps, cs):
+            seg = Ud[k0: k0 + cs]
+            real = seg.shape[0]
+            if real < cs:
+                seg = jnp.concatenate(
+                    [seg, jnp.repeat(seg[-1:], cs - real, axis=0)], axis=0)
+            xc, PVc, itc, rsc, cvc = runner(seg, xc, tol_d, ports_arr,
+                                            base.Aop, base.Ml, Chop, Bop)
+            outs.append((PVc[:real], itc[:real], rsc[:real], cvc[:real]))
+        PV = jnp.concatenate([o[0] for o in outs], axis=0)
+        it = jnp.concatenate([o[1] for o in outs], axis=0)
+        rs = jnp.concatenate([o[2] for o in outs], axis=0)
+        cv = jnp.concatenate([o[3] for o in outs], axis=0)
+    else:
+        _, PV, it, rs, cv = runner(Ud, x0d, tol_d, ports_arr,
+                                   base.Aop, base.Ml, Chop, Bop)
+    stats["transient_s"] = _time.perf_counter() - t0
     PV = np.asarray(PV, np.float64)
     if dc_scale is not None:
         PV = PV * dc_scale[np.asarray(ports)][None, :]
@@ -215,4 +262,5 @@ def dist_transient_gmres(
         residuals=np.asarray(rs),
         converged=bool(np.asarray(cv).all()),
         comm=base.comm,
+        stats=stats,
     )

@@ -31,6 +31,7 @@ natural stencil layout outright.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 from functools import partial
 
 import numpy as np
@@ -50,33 +51,59 @@ def branch_rows(A: CSRMatrix) -> np.ndarray:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["Mg", "Agj", "Ajg", "S_inv", "g_gather", "j_gather",
-                 "g_scatter"],
-    meta_fields=["n"],
+    data_fields=["Mg", "Agj", "Ajg", "MgAgj", "S_inv", "g_gather",
+                 "j_gather", "g_scatter"],
+    meta_fields=["n", "ng"],
 )
 @dataclasses.dataclass(frozen=True)
 class SaddlePrecond:
     """Apply the block-elimination preconditioner (see module docstring).
 
-    ``g_gather``/``j_gather`` index the grounded/branch rows; ``g_scatter``
-    scatters [z1; z2] back to the original ordering (one fused gather)."""
+    Two block-split layouts:
+    - **contiguous** (``g_gather is None``): the grounded rows are
+      ``[0, ng)`` and the branch rows the tail ``[ng, n)`` — the layout the
+      MNA stamper produces (frontend/mna.py stamp: V/L branch rows appended
+      after the node block) and the geometric load-time ordering preserves.
+      The split/merge is pure static slicing + one concatenate.
+      This matters enormously: XLA lowers an explicit 2.1M-element gather
+      to ~12 ms on v5e even when the index vector is an iota, so the
+      gather-based apply spent ~25 of its 33 ms moving data that never
+      needed to move (measured, benchmarks/probe_saddle_parts.py r4).
+    - **general** (``g_gather``/``j_gather``/``g_scatter`` index arrays):
+      any row split, three gathers per apply.
+    """
 
     Mg: object           # AinvPrecond (or any pytree op) on Agg
     Agj: object          # (ng, nj) coupling operator
     Ajg: object          # (nj, ng) coupling operator
+    MgAgj: object        # optional precomputed (Mg o Agj) thin operator
     S_inv: jax.Array     # (nj, nj) dense inverse Schur complement
-    g_gather: jax.Array  # (ng,) int32
-    j_gather: jax.Array  # (nj,) int32
-    g_scatter: jax.Array # (n,) int32: position of row i in [z1; z2]
+    g_gather: Optional[jax.Array]  # (ng,) int32, or None when contiguous
+    j_gather: Optional[jax.Array]  # (nj,) int32, or None when contiguous
+    g_scatter: Optional[jax.Array] # (n,) int32: position of row i in [z1;z2]
     n: int
+    ng: int
 
     def __call__(self, v: jax.Array) -> jax.Array:
-        b1 = v[self.g_gather]
-        b2 = v[self.j_gather]
+        if self.g_gather is None:
+            b1 = v[: self.ng]
+            b2 = v[self.ng:]
+        else:
+            b1 = v[self.g_gather]
+            b2 = v[self.j_gather]
         u1 = self.Mg(b1)
         z2 = self.S_inv @ (self.Ajg(u1) - b2)
-        z1 = self.Mg(b1 - self.Agj(z2))
-        return jnp.concatenate([z1, z2])[self.g_scatter]
+        if self.MgAgj is not None:
+            # single-Mg form: z1 = Mg(b1 - Agj z2) = u1 - (Mg o Agj) z2
+            # with (Mg o Agj) precomputed on the host as a thin sparse
+            # operator (it already exists there for the Schur build) —
+            # identical linear map, one Mg apply saved (~half the apply
+            # cost at 2.1M, probe_saddle_parts r4)
+            z1 = u1 - self.MgAgj(z2)
+        else:
+            z1 = self.Mg(b1 - self.Agj(z2))
+        z = jnp.concatenate([z1, z2])
+        return z if self.g_scatter is None else z[self.g_scatter]
 
 
 def _diag_banded(S, Gi, min_density: float = 0.25,
@@ -150,13 +177,16 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
     # where block-Jacobi AINV's grows with the grid — measured 704
     # iters/step at 524K with AINV), AINV otherwise.
     Mg = None
+    MgAgj_s = None   # sparse host (Mg o Agj) when cheaply available
     if Agg.shape[0] >= mg_min_n:
         from gmres_tpu.precond.mg import mg as build_mg
 
         Mg, mg_host = build_mg(Agg, dtype=dtype, with_host=True)
     if Mg is not None:
         # Schur columns through the same V-cycle GMRES will apply —
-        # evaluated host-side in f64 (no device dispatch at build time)
+        # evaluated host-side in f64 (no device dispatch at build time).
+        # The V-cycle image of Agj is dense (global support), so the
+        # single-Mg apply shortcut stays off for the MG branch.
         MgAgj = mg_host(Agj.toarray())                      # (ng, nj)
         S_dense = (Ajg @ MgAgj) - Ajj
     else:
@@ -178,6 +208,8 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
         Mg = AinvPrecond(Z=Zd, Wt=Wd, inv_d=to_device(inv_d, dtype))
         Zs, Wts = Z.to_scipy(), Wt.to_scipy()
         MgAgj = Zs @ sp.diags(inv_d) @ (Wts @ Agj)
+        if MgAgj.nnz <= 4 * max(Agg.nnz, 1):
+            MgAgj_s = MgAgj.tocsr()
         S_dense = (Ajg @ MgAgj).toarray() - Ajj
     # the Schur block of a connected PG grid is nonsingular; regularize
     # defensively against degenerate fixtures
@@ -200,13 +232,23 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
         return as_operator(C.to_device_coo(dtype=dtype),
                            logical_shape=M.shape)
 
+    # Contiguous layout (grounded block = [0, ng), branch rows = tail):
+    # the MNA stamper's natural layout, preserved by the geometric ordering
+    # and by _diag_banded short-circuiting the RCM. Slice-based apply — an
+    # explicit n-length gather costs ~12 ms at 2.1M on v5e even with
+    # identity indices (probe_saddle_parts r4), ~25 ms/apply of pure waste.
+    contiguous = bool(
+        np.array_equal(Gi, np.arange(ng))
+        and np.array_equal(J, np.arange(ng, n)))
     return SaddlePrecond(
         Mg=Mg,
         Agj=thin(Agj),
         Ajg=thin(Ajg),
+        MgAgj=None if MgAgj_s is None else thin(MgAgj_s),
         S_inv=to_device(S_inv, dtype),
-        g_gather=jnp.asarray(Gi, jnp.int32),
-        j_gather=jnp.asarray(J, jnp.int32),
-        g_scatter=jnp.asarray(g_scatter, jnp.int32),
+        g_gather=None if contiguous else jnp.asarray(Gi, jnp.int32),
+        j_gather=None if contiguous else jnp.asarray(J, jnp.int32),
+        g_scatter=None if contiguous else jnp.asarray(g_scatter, jnp.int32),
         n=n,
+        ng=ng,
     )

@@ -63,3 +63,37 @@ def test_cli_np_routes_distributed(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "distributed gmres transient (4 shards" in out
     assert "converged=True" in out
+
+
+def test_dist_transient_chunked_matches_unchunked(pg_fixture):
+    """Scan chunking (watchdog bounding, VERDICT r3 #6) must be a pure
+    dispatch decision: identical port trajectories, iterations, and
+    converged flags whether the scan runs as one program or in segments
+    with a sharded state carry (tail segment padded)."""
+    mna = pg_fixture
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    r_one = dist_transient_gmres(mna, mesh, precond="jacobi",
+                                 dtype=jnp.float64, tol=1e-9, chunk_steps=0)
+    r_chk = dist_transient_gmres(mna, mesh, precond="jacobi",
+                                 dtype=jnp.float64, tol=1e-9, chunk_steps=4)
+    np.testing.assert_array_equal(r_one.iterations, r_chk.iterations)
+    np.testing.assert_allclose(r_one.port_values, r_chk.port_values,
+                               rtol=1e-12, atol=0)
+    assert r_chk.converged
+    assert r_chk.stats is not None and "transient_s" in r_chk.stats
+
+
+def test_dist_transient_device_dc_seed(pg_fixture):
+    """dc_method='gmres' seeds the distributed transient from an iterative
+    DC (the reference's on-device DC, mna_solve_gpu_gmres.cpp:529-538)
+    instead of host LU, with matching results."""
+    mna = pg_fixture
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    r_lu = dist_transient_gmres(mna, mesh, precond="jacobi",
+                                dtype=jnp.float64, tol=1e-9)
+    r_it = dist_transient_gmres(mna, mesh, precond="jacobi",
+                                dtype=jnp.float64, tol=1e-9,
+                                dc_method="gmres")
+    np.testing.assert_allclose(r_it.port_values, r_lu.port_values,
+                               rtol=1e-6, atol=1e-10)
+    assert r_it.converged
