@@ -191,22 +191,35 @@ def main(argv=None) -> int:
                           f"(visible devices)")
                 mesh = make_mesh(n_rows=nparts)
                 dprec = args.precond
-                if dprec in ("auto", "ilutp", "ilupp"):
+                if dprec in ("auto", "saddle", "ilutp", "ilupp"):
                     # distributed forms exist for jacobi/ainv/block-ILU;
-                    # block-ILU is the robust default on MNA systems
+                    # block-ILU is the robust default on MNA systems. The
+                    # single-chip production preconditioners (saddle/ILUTP)
+                    # have no shard-aligned form yet — say so LOUDLY, the
+                    # sharded run uses a weaker M than single-chip
+                    # (VERDICT r3 #6).
+                    print(f"* -np {nparts}: preconditioner "
+                          f"{args.precond!r} has no shard-aligned form; "
+                          f"DOWNGRADING to block-'iluk' (expect more "
+                          f"iterations/step than single-chip)")
                     dprec = "iluk"
                 # IR is not yet lifted to the sharded engine; -single with
                 # refine-auto runs full f64 there instead (honest tol)
                 ddtype = jnp.float64 if args.refine else dtype
                 res = dist_transient_gmres(
                     mna, mesh, precond=dprec, dtype=ddtype, tol=args.tol,
-                    restart=args.restart,
+                    restart=args.restart, dc_method=args.dcmethod,
+                    chunk_steps=args.chunk,
                 )
                 it = res.iterations
                 print(f"* distributed gmres transient ({nparts} shards, "
                       f"{res.comm}): {int(it.sum())} total iterations, "
                       f"mean {float(it.mean()):.1f}/step, "
                       f"converged={res.converged}")
+                if res.stats:
+                    split = ", ".join(f"{k}={v:.1f}s"
+                                      for k, v in res.stats.items())
+                    print(f"*   setup/run split: {split}")
             elif args.gmres:
                 def _progress(done, _x, r):
                     it = np.asarray(r.iterations)
@@ -223,6 +236,10 @@ def main(argv=None) -> int:
                 print(f"* gmres transient: {int(it.sum())} total iterations, "
                       f"mean {float(it.mean()):.1f}/step, "
                       f"converged={res.stats['converged']}")
+                ph = res.stats.get("phases")
+                if ph:
+                    print("*   engine split: " + ", ".join(
+                        f"{k}={v:.1f}s" for k, v in ph.items()))
             else:
                 # -tpu: the device-resident direct-LU engine
                 # (wrapperGPUforPG.cu:17 equivalent)

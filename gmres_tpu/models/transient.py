@@ -191,13 +191,25 @@ def transient_gmres(
     :func:`gmres_tpu.models.thermal.thermal_transient`); bounds
     per-dispatch device time and enables progress reporting.
     """
+    import time as _time
+
     from gmres_tpu.models.dc import dc_solve
     from gmres_tpu.ops.operator import as_operator
     from gmres_tpu.ops.spmv import device_operator, stencil_matrix
     from gmres_tpu.precond import resolve_precond
     from gmres_tpu.precond.milu import SystemTransform, should_transform
 
+    phases = {}
+    _t0 = _time.perf_counter()
+
+    def _phase(label):
+        nonlocal _t0
+        t = _time.perf_counter()
+        phases[label] = phases.get(label, 0.0) + (t - _t0)
+        _t0 = t
+
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
+    _phase("form_A")
     precond = resolve_precond(precond, A)
     if precond == "saddle" and transform == "auto":
         # the constraint-Schur preconditioner eliminates the zero-diagonal
@@ -205,8 +217,22 @@ def transient_gmres(
         # equilibration to stage (measured: Ruiz changes 284 -> 277 iters
         # on the 20K fixture, not worth the extra gathers per apply)
         transform = "none"
-    x = dc_solve(mna, method=dc_method) if x0 is None else np.asarray(x0)
-    dc = x.copy()
+    # The DC seed runs at the engine's working precision and the per-step
+    # tolerance (every transient step re-solves to ``tol`` anyway, so a
+    # tighter DC buys nothing) — clamped to the f32 stall floor when the
+    # process has no f64 at all. Passing dtype matters on TPU: dc_solve's
+    # own default is f64, which in an x64 process (GMRES-IR) would select
+    # EMULATED f64 for the whole DC Arnoldi loop — the round-3 flagship
+    # runs died inside exactly that configuration.
+    dc_tol = tol if jax.config.jax_enable_x64 else max(tol, 2e-6)
+    dc_reuse_M = (x0 is None and dc_method == "gmres"
+                  and precond == "saddle" and transform == "none")
+    x = None
+    if not dc_reuse_M:
+        x = (dc_solve(mna, method=dc_method, precond=precond, dtype=dtype,
+                      tol=dc_tol, verbose=dc_method == "gmres")
+             if x0 is None else np.asarray(x0))
+        _phase("dc")
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
 
     tr = None
@@ -249,8 +275,41 @@ def transient_gmres(
             device_operator(B_t, dtype=jnp.float64),
             device_operator(Ch_t, dtype=jnp.float64),
         )
+    _phase("operators")
     M = make_preconditioner(precond, App if tr is not None else A_t,
                             dtype=dtype, fmt="auto")
+    _phase("precond_setup")
+    if dc_reuse_M:
+        # DC seed with the TRANSIENT preconditioner: A = G + C/h is a tiny
+        # diagonal perturbation of G (C/h on ~5% of nodes at ~1e-4 relative
+        # on the contest fixture), so M_A preconditions G as well as it
+        # preconditions A — measured at 2.1M: 10 GMRES iterations to 1e-7
+        # where a G-built AINV-saddle needed 1245 (the C/h shift also
+        # regularizes the MG hierarchy that stagnates on pure G). Reusing M
+        # skips an entire second preconditioner setup; the reference
+        # likewise builds separate ILU++ factors for G and A but solves DC
+        # on device (mna_solve_gpu_gmres.cpp:316-344,529-538).
+        from gmres_tpu.models.dc import _chunked_gmres
+        from gmres_tpu.ops.formats import to_device
+
+        use_ir = bool(jax.config.jax_enable_x64) and \
+            jax.dtypes.canonicalize_dtype(np.dtype(dtype)) == np.float32
+        Gop = device_operator(mna.G, dtype=dtype)
+        G_hi = device_operator(mna.G, dtype=jnp.float64) if use_ir else None
+        b_dc = mna.dc_rhs()
+        res_dc = _chunked_gmres(
+            Gop, to_device(b_dc, jnp.float64 if use_ir else dtype), M,
+            restart=50, tol=dc_tol, maxiter=20000, dispatch_iters=2000,
+            A_hi=G_hi, work_dtype=jnp.float32 if use_ir else None,
+            verbose=True)
+        if not bool(res_dc.converged):
+            raise RuntimeError(
+                f"DC GMRES (transient-M reuse) failed to converge: "
+                f"residual={float(res_dc.residual)}")
+        x = np.asarray(res_dc.x, np.float64)
+        x_t = x
+        _phase("dc")
+    dc = x.copy()
     if decouple:
         M_left = tr.left_hook(M, dtype=dtype)
         M_right = tr.right_hook(dtype=dtype)
@@ -270,6 +329,7 @@ def transient_gmres(
         hi_ops=hi_ops,
         chunk_steps=chunk_steps, on_chunk=on_chunk,
     )
+    _phase("time_loop")
     port_values = np.asarray(res.X, dtype=np.float64)
     if tr is not None and not decouple:
         port_values = port_values * tr.port_scale(ports)[None, :]
@@ -281,5 +341,6 @@ def transient_gmres(
             "iterations": np.asarray(res.iterations),
             "residuals": np.asarray(res.residuals),
             "converged": bool(np.asarray(res.converged).all()),
+            "phases": phases,
         },
     )

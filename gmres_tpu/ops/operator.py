@@ -15,7 +15,8 @@ import jax
 
 from gmres_tpu.ops.spmv import spmv as _spmv
 
-__all__ = ["FnOp", "MatOp", "ComposeOp", "IdentityOp", "as_operator", "identity"]
+__all__ = ["FnOp", "MatOp", "ComposeOp", "IdentityOp", "ShiftedOp",
+           "as_operator", "identity"]
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=["fn"])
@@ -74,6 +75,28 @@ class ComposeOp:
         return self.outer(self.inner(v))
 
 
+@partial(jax.tree_util.register_dataclass, data_fields=["G", "C", "s"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class ShiftedOp:
+    """y = (G + s C) x with a TRACED shift s.
+
+    The frequency-shifted operator of the ETBR sample sweep
+    ((G + f_i C) z_i = B u(f_i), etbr2.cpp:145) and of the backward-Euler
+    recurrence (A = G + C/h). Because ``s`` is pytree data, a vmapped solve
+    can batch over frequency samples while G/C stay unbatched device
+    operands — the TPU shape of the reference's pthread-per-sample fan-out
+    (etbr_thread.cpp:188-209), with no operator arrays baked into the
+    program as constants."""
+
+    G: Any
+    C: Any
+    s: Any
+
+    def __call__(self, v):
+        return self.G(v) + self.s * self.C(v)
+
+
 @partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class IdentityOp:
@@ -101,7 +124,8 @@ def as_operator(A, logical_shape=None) -> Any:
         elif ln is not None and ln >= 0 and ln != A.shape[0]:
             return PaddedMatOp(A, rows=int(ln), cols=int(ln))
         return MatOp(A)
-    if isinstance(A, (FnOp, MatOp, ComposeOp, IdentityOp, PaddedMatOp)):
+    if isinstance(A, (FnOp, MatOp, ComposeOp, IdentityOp, PaddedMatOp,
+                      ShiftedOp)):
         return A
     if dataclasses.is_dataclass(A) and callable(A):
         # registered preconditioner pytrees (JacobiPrecond, AinvPrecond, ...)

@@ -141,11 +141,24 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
     2.1M: Z spans 529 offsets incl. +-1M; the v1 WELL fallback needs more
     SMEM than the chip has), and block-Jacobi AINV blocks get coupling-
     local, preserving quality."""
+    import os
+    import time as _time
+
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
     from gmres_tpu.ops.reorder import rcm_ordering
     from gmres_tpu.precond.ainv import ainv, ainv_factor
+
+    _dbg = os.environ.get("GMRES_TPU_DEBUG_SETUP", "0") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _dbg:
+            t = _time.perf_counter()
+            print(f"[saddle] {label}: {t - _t0:.1f} s", flush=True)
+            _t0 = t
 
     J = branch_rows(A)
     if J.size == 0:
@@ -171,6 +184,7 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
     Agj = S[Gi][:, J].tocsr()
     Ajg = S[J][:, Gi].tocsr()
     Ajj = S[J][:, J].toarray()
+    _mark("block split")
 
     # Mg on the grounded block: geometric multigrid when the block is
     # grid-structured at scale (V-cycle bounds the GMRES count O(1) in n
@@ -182,13 +196,40 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
         from gmres_tpu.precond.mg import mg as build_mg
 
         Mg, mg_host = build_mg(Agg, dtype=dtype, with_host=True)
+        _mark("mg build (host+device)")
     if Mg is not None:
-        # Schur columns through the same V-cycle GMRES will apply —
-        # evaluated host-side in f64 (no device dispatch at build time).
-        # The V-cycle image of Agj is dense (global support), so the
-        # single-Mg apply shortcut stays off for the MG branch.
-        MgAgj = mg_host(Agj.toarray())                      # (ng, nj)
-        S_dense = (Ajg @ MgAgj) - Ajj
+        # Schur block via the TWO-LEVEL ADDITIVE proxy of the V-cycle:
+        #   Mg ~ c0 D^-1  +  P A_c^-1 P^T      (P = composed SA prolongator)
+        # so  S ~ c0 (Ajg D^-1 Agj) + (Ajg P) A_c^-1 (P^T Agj) - Ajj,
+        # all SMALL host products (nj x nc at most). Exact alternatives
+        # measured at 2.1M x 256 and rejected: host V-cycle columns ~300 s
+        # single-threaded; device vmapped V-cycle needs a multi-minute
+        # remote compile of its own. The Schur only steers the
+        # preconditioner: pads couple through the grid, which is exactly
+        # the coarse-solve term; the c0 D^-1 term carries the local
+        # response (weight = the SA damping 4/(3 lmax)). DC at 2.1M: 10
+        # GMRES iterations with the exact Schur — proxy parity is pinned
+        # in tests/test_mg.py.
+        if not mg_host.Ps:
+            # zero-level hierarchy: Mg IS the dense coarse inverse — exact
+            S_dense = (Ajg @ (mg_host.coarse_inv @ Agj.toarray())) - Ajj
+        else:
+            # fold the P chain column-wise/row-wise — never materialize the
+            # composed prolongator (its sparse self-product costs minutes
+            # at 2.1M; these nj-wide chains cost milliseconds)
+            T = Agj                                        # (n_l, nj)
+            for P in mg_host.Ps:
+                T = P.T @ T
+            W = Ajg                                        # (nj, n_l)
+            for P in mg_host.Ps:
+                W = W @ P
+            c0 = 4.0 / (3.0 * mg_host.lmaxs[0])
+            Dinv = sp.diags(mg_host.inv_diags[0])
+            S_dense = np.asarray(
+                W @ (mg_host.coarse_inv @ T.toarray())
+                + c0 * (Ajg @ (Dinv @ Agj)).toarray()
+                - Ajj)
+        _mark("schur columns (two-level proxy)")
     else:
         # AINV (host factors reused for the sparse Schur build)
         Z, Wt, inv_d = ainv_factor(
@@ -206,6 +247,7 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
             Zd = Z.to_ell(dtype=dtype)
             Wd = Wt.to_ell(dtype=dtype)
         Mg = AinvPrecond(Z=Zd, Wt=Wd, inv_d=to_device(inv_d, dtype))
+        _mark("ainv build")
         Zs, Wts = Z.to_scipy(), Wt.to_scipy()
         MgAgj = Zs @ sp.diags(inv_d) @ (Wts @ Agj)
         if MgAgj.nnz <= 4 * max(Agg.nnz, 1):
@@ -217,6 +259,7 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
         S_inv = np.linalg.inv(S_dense)
     except np.linalg.LinAlgError:
         S_inv = np.linalg.pinv(S_dense)
+    _mark("schur inverse")
 
     ng = Gi.size
     g_scatter = np.empty(n, dtype=np.int64)

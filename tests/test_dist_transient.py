@@ -63,6 +63,9 @@ def test_cli_np_routes_distributed(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "distributed gmres transient (4 shards" in out
     assert "converged=True" in out
+    # the auto->iluk preconditioner downgrade must be LOUD (VERDICT r3 #6)
+    assert "DOWNGRADING to block-'iluk'" in out
+    assert "setup/run split" in out
 
 
 def test_dist_transient_chunked_matches_unchunked(pg_fixture):
