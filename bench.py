@@ -146,24 +146,34 @@ def build_pg_mna(nx: int = 316, seed: int = 0, rcm: bool = True):
     return A[p][:, p].tocsr()
 
 
-def _chain_time(jax, spmv_fn, x, iters, reps=5):
+_CHAIN_CACHE = {}
+
+
+def _chain_time(jax, op, x, iters, reps=5):
+    """Time a chained apply of ``op`` (an operator PYTREE passed as a jit
+    ARGUMENT — a closure would bake multi-hundred-MB operands into the
+    program and die at the remote-compile size limit, the r3 applyprobe
+    failure)."""
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def chain(v, it):
-        return lax.fori_loop(0, it, lambda i, u: spmv_fn(u) * 0.08, v)
+    if "chain" not in _CHAIN_CACHE:
+        @jax.jit
+        def chain(o, v, it):
+            return lax.fori_loop(0, it, lambda i, u: o(u) * 0.08, v)
 
-    _ = float(jnp.sum(chain(x, iters)))          # compile + warm
+        _CHAIN_CACHE["chain"] = chain
+    chain = _CHAIN_CACHE["chain"]
+    _ = float(jnp.sum(chain(op, x, iters)))          # compile + warm
     best = float("inf")
     for _k in range(reps):
         t0 = time.perf_counter()
-        _ = float(jnp.sum(chain(x, iters)))
+        _ = float(jnp.sum(chain(op, x, iters)))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def bench_chain(jax, spmv_fn, x, n1=10, target_span=0.08, max_n2=20000):
+def bench_chain(jax, op, x, n1=10, target_span=0.08, max_n2=20000):
     """Per-SpMV seconds with the fixed per-dispatch cost removed.
 
     The tunneled backend adds a ~23 ms round-trip per *call* with ms-scale
@@ -171,12 +181,12 @@ def bench_chain(jax, spmv_fn, x, n1=10, target_span=0.08, max_n2=20000):
     understates fast ops by up to 240 us/op. Instead time two chained
     iteration counts and take the slope, sizing the span so the measured
     work dwarfs the jitter."""
-    t1 = _chain_time(jax, spmv_fn, x, n1)
+    t1 = _chain_time(jax, op, x, n1)
     n_pilot = n1 + 200
-    tp = _chain_time(jax, spmv_fn, x, n_pilot, reps=3)
+    tp = _chain_time(jax, op, x, n_pilot, reps=3)
     per = max((tp - t1) / (n_pilot - n1), 1e-9)
     n2 = int(min(max(n_pilot, n1 + target_span / per), max_n2))
-    t2 = _chain_time(jax, spmv_fn, x, n2)
+    t2 = _chain_time(jax, op, x, n2)
     return max((t2 - t1) / (n2 - n1), 1e-12)
 
 
@@ -239,11 +249,13 @@ def main():
         x_np = np.zeros(n_pad, np.float32)
         x_np[: nx ** 3] = np.random.default_rng(0).standard_normal(nx ** 3)
         x = jnp.asarray(x_np)
-        y = jax.jit(lambda v: spmv(A, v))(x)
+        from gmres_tpu.ops.operator import MatOp
+
+        y = jax.jit(spmv)(A, x)
         y_ref = dia_matvec_numpy(data_np, A.offsets, x_np.astype(np.float64))
         rel = np.linalg.norm(np.asarray(y) - y_ref) / np.linalg.norm(y_ref)
         assert rel < 1e-5, f"DIA SpMV verify failed: rel={rel}"
-        dt = bench_chain(jax, lambda v: spmv(A, v), x)
+        dt = bench_chain(jax, MatOp(A), x)
         dia_nnz_per_s = nnz / dt
 
         # ---- general-sparsity paths (every real PG netlist) ----
@@ -253,18 +265,20 @@ def main():
         extra = {}
 
         def measure(Ac, dev):
+            from gmres_tpu.ops.operator import MatOp
+
             nw = dev.shape[1]
             xw_np = np.zeros(nw, np.float32)
             xw_np[: Ac.shape[0]] = np.random.default_rng(1).standard_normal(
                 Ac.shape[0])
             xw = jnp.asarray(xw_np)
-            yw = jax.jit(lambda v: spmv(dev, v))(xw)
+            yw = jax.jit(spmv)(dev, xw)
             yw_ref = Ac.astype(np.float64) @ xw_np[: Ac.shape[0]].astype(
                 np.float64)
             relw = (np.linalg.norm(np.asarray(yw)[: Ac.shape[0]] - yw_ref)
                     / np.linalg.norm(yw_ref))
             assert relw < 1e-5, f"verify failed: rel={relw}"
-            return bench_chain(jax, lambda v: spmv(dev, v), xw)
+            return bench_chain(jax, MatOp(dev), xw)
 
         try:
             from gmres_tpu.ops.spmv import device_matrix

@@ -159,6 +159,8 @@ def main(argv=None) -> int:
                 mna, q=args.nq, workers=args.mt,
                 method="gmres" if (args.device and args.gmres) else "lu",
                 nparts=args.nparts, out_of_core=args.ooc, fft_n=args.fftn,
+                gmres_opts=dict(verbose=True)
+                if (args.device and args.gmres) else None,
             )
         print(f"* reduced order q={model.q}, "
               f"sigma1={model.sigma[0]:.3e}, "

@@ -196,6 +196,21 @@ def saddle(A: CSRMatrix, drop_tol: float = 0.1, dtype=jnp.float32,
         from gmres_tpu.precond.mg import mg as build_mg
 
         Mg, mg_host = build_mg(Agg, dtype=dtype, with_host=True)
+        if Mg is None:
+            # Pure-conductance blocks (DC: G alone, no C/h) are
+            # near-singular Laplacians on which the SA hierarchy stagnates
+            # (rho ~ 1.0 measured at 2.1M) while a lightly regularized copy
+            # contracts fine. Build the hierarchy on Agg + eps*diag and use
+            # it as Mg for the TRUE block — preconditioner semantics, and
+            # GMRES absorbs the handful of outlier modes (measured: 0.70
+            # stationary rho on true G, ~40-iteration DC solves vs 1245
+            # with AINV-Mg).
+            import scipy.sparse as _sp
+
+            d0 = np.asarray(Agg.diagonal())
+            Ash = CSRMatrix.from_scipy(
+                (Agg.to_scipy() + _sp.diags(1e-4 * d0)).tocsr())
+            Mg, mg_host = build_mg(Ash, dtype=dtype, with_host=True)
         _mark("mg build (host+device)")
     if Mg is not None:
         # Schur block via the TWO-LEVEL ADDITIVE proxy of the V-cycle:
