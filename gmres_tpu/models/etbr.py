@@ -278,29 +278,42 @@ def reduced_transient(
     ports = mna.ports if mna.ports.size else np.arange(mna.num_nodes)
     Xp = model.X[ports]  # (nports, q) — the reference's LV projection
 
-    from gmres_tpu.models.dc import dc_solve
-
     if xr0 is None:
-        x_dc = dc_solve(mna, method="direct")
-        xr = model.X.T @ x_dc
+        # Galerkin DC in the reduced space: Gr xr = Br u(0) — a (q, q)
+        # solve. The frequency sample set forces f=0 (etbr2.cpp:375-388),
+        # so the basis contains the DC response direction; projecting the
+        # FULL DC (host sparse LU) instead costs 669 s at 2.1M
+        # (MEASUREMENTS r3) for no accuracy the reduction could keep.
+        from gmres_tpu.frontend.sources import dc_values
+
+        u0 = dc_values(mna.sources)
+        b_r = model.Br @ u0
+        try:
+            xr = np.linalg.solve(model.Gr, b_r)
+        except np.linalg.LinAlgError:
+            xr = np.linalg.lstsq(model.Gr, b_r, rcond=None)[0]
     else:
         xr = np.asarray(xr0)
     dc = model.X @ xr
 
     lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(Ar, dtype=dtype))
     Chr_d = jnp.asarray(Chr, dtype=dtype)
-    Br_d = jnp.asarray(model.Br, dtype=dtype)
     Xp_d = jnp.asarray(Xp, dtype=dtype)
-    U_d = jnp.asarray(U, dtype=dtype)
+    # Reduce the inputs ONCE on the host: W = U Br^T is (steps, q) — the
+    # reference's own shape (cudaTranSim.cu:213-218 computes Br*ut with one
+    # cublas gemm before the loop). Shipping the raw (steps, nsrc) table
+    # instead moves ~0.5 GB per 1000 steps at contest scale (104857
+    # sources) over the host->device link for data the scan would reduce
+    # to 20 numbers per step anyway.
+    W_d = jnp.asarray(U @ model.Br.T, dtype=dtype)
 
     @jax.jit
     def run(xr0_d):
-        def step(xr, u):
-            w = Br_d @ u + Chr_d @ xr
-            xr1 = jax.scipy.linalg.lu_solve((lu, piv), w)
+        def step(xr, w):
+            xr1 = jax.scipy.linalg.lu_solve((lu, piv), w + Chr_d @ xr)
             return xr1, Xp_d @ xr1
 
-        _, outs = lax.scan(step, xr0_d, U_d)
+        _, outs = lax.scan(step, xr0_d, W_d)
         return outs
 
     out = np.asarray(run(jnp.asarray(xr, dtype=dtype)), dtype=np.float64)
