@@ -145,18 +145,44 @@ class MgPrecond:
 
     # -- transfers (pure reshapes/broadcasts; exact transposes) --
 
+    # Factor-2 grid transfers, chosen by MEASUREMENT on v5e (128^3 grid):
+    # restriction = per-axis stride-2 slice sums (38.5/3.9/5.2 us for
+    # lane/sublane/leading axes); prolongation = stride-2 scatter
+    # .at[].set (10 us). Rejected lowerings of the same math:
+    # 6-D (..,2,..,2) reshape-sum — XLA tiles trailing size-2 dims onto
+    # (8,128) vregs at 64x padding, 1549 us standalone and 19.9 GB of HLO
+    # temps inside a GMRES while-loop (BENCH r4 MG OOM); single-channel
+    # 3-D convs — degenerate MXU use, 4.5 ms + bf16 rounding;
+    # lax.reduce_window — 20 us standalone but its compile inside a
+    # fori_loop never returned (>20 min remote compile). Slice sums and
+    # scatters are exact adds.
+
     def _restrict(self, l: int, r: jax.Array) -> jax.Array:
         (nz, ny, nx), (fz, fy, fx) = self.dims[l], self.factors[l]
         ngrid = nz * ny * nx
-        g = r[:ngrid].reshape(nz // fz, fz, ny // fy, fy, nx // fx, fx)
-        out = g.sum(axis=(1, 3, 5)).reshape(-1)
+        g = r[:ngrid].reshape(nz, ny, nx)
+        if fx == 2:
+            g = g[:, :, 0::2] + g[:, :, 1::2]
+        if fy == 2:
+            g = g[:, 0::2, :] + g[:, 1::2, :]
+        if fz == 2:
+            g = g[0::2] + g[1::2]
+        out = g.reshape(-1)
         return jnp.concatenate([out, r[ngrid:]]) if self.tails[l] else out
 
     def _prolong(self, l: int, xc: jax.Array) -> jax.Array:
         (nz, ny, nx), (fz, fy, fx) = self.dims[l], self.factors[l]
         cz, cy, cx = nz // fz, ny // fy, nx // fx
-        g = xc[: cz * cy * cx].reshape(cz, 1, cy, 1, cx, 1)
-        g = jnp.broadcast_to(g, (cz, fz, cy, fy, cx, fx)).reshape(-1)
+        g = xc[: cz * cy * cx].reshape(cz, cy, cx)
+        if fz == 2:
+            g = jnp.zeros((nz, cy, cx), g.dtype).at[0::2].set(g).at[1::2].set(g)
+        if fy == 2:
+            g = jnp.zeros((g.shape[0], ny, cx), g.dtype) \
+                .at[:, 0::2, :].set(g).at[:, 1::2, :].set(g)
+        if fx == 2:
+            g = jnp.zeros((g.shape[0], g.shape[1], nx), g.dtype) \
+                .at[:, :, 0::2].set(g).at[:, :, 1::2].set(g)
+        g = g.reshape(-1)
         return jnp.concatenate([g, xc[cz * cy * cx:]]) if self.tails[l] \
             else g
 
