@@ -96,7 +96,8 @@ def build_dia_laplacian3d(nx: int, pad_to: int = 1024):
     data[5, : n][iy < nx - 1] = -1.0
     data[6, : n][iz < nx - 1] = -1.0
     nnz = int((data != 0).sum())
-    A = DiaMatrix(data=jnp.asarray(data), offsets=tuple(offsets),
+    A = DiaMatrix(data=tuple(jnp.asarray(row) for row in data),
+                  offsets=tuple(offsets),
                   shape=(n_pad, n_pad), logical_n=n)
     return A, data, nnz
 
@@ -339,7 +340,8 @@ def main():
             Mj = JacobiPrecond(
                 inv_diag=jnp.full(n_log, 1.0 / 6.0, jnp.float32))
             A_hi_g = as_operator(
-                DiaMatrix(data=jnp.asarray(data_np, jnp.float64),
+                DiaMatrix(data=tuple(jnp.asarray(row, jnp.float64)
+                                     for row in data_np),
                           offsets=A.offsets, shape=A.shape,
                           logical_n=A.logical_n),
                 logical_shape=(n_log, n_log))

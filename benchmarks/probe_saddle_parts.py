@@ -167,7 +167,7 @@ def main():
             jax.clear_caches()
             try:
                 dt = slope(Zop, vg)
-                nnzZ = int(np.count_nonzero(np.asarray(Mg.Z.data)))
+                nnzZ = int(sum(np.count_nonzero(np.asarray(r)) for r in Mg.Z.data))
                 print(f"Z SpMV pallas={flag}: {dt*1e3:.3f} ms "
                       f"({nnzZ/dt/1e9:.1f} Gnnz/s)", flush=True)
             except Exception as e:  # noqa: BLE001

@@ -40,7 +40,7 @@ Acsr = CSRMatrix.from_scipy(An)
 H = to_hybrid(Acsr, dtype=jnp.float32)
 print(f"natural PG: n={An.shape[0]} nnz={An.nnz}")
 if H is not None:
-    ndia = int(np.count_nonzero(np.asarray(H.dia.data)))
+    ndia = int(sum(np.count_nonzero(np.asarray(r)) for r in H.dia.data))
     print(f"hybrid: dia diags={len(H.dia.offsets)} dia_nnz={ndia} "
           f"rest={type(H.rest).__name__} rest_nnz={An.nnz - ndia}")
     run("hybrid (total)", An, H)

@@ -46,7 +46,7 @@ print(f"empty     : {dt*1e6:8.2f} us/iter   (t20={t1*1e3:.1f} ms, t520={t2*1e3:.
 An = build_pg_mna(rcm=False)
 H = to_hybrid(CSRMatrix.from_scipy(An), dtype=jnp.float32)
 dt, t1, t2 = slope(lambda v: spmv(H.dia, v), x)
-nnz_d = int(np.count_nonzero(np.asarray(H.dia.data)))
+nnz_d = int(sum(np.count_nonzero(np.asarray(r)) for r in H.dia.data))
 print(f"small DIA : {dt*1e6:8.2f} us/iter = {nnz_d/dt/1e9:7.2f} Gnnz/s")
 dt, t1, t2 = slope(lambda v: spmv(H.rest, v), x)
 print(f"rest(v1)  : {dt*1e6:8.2f} us/iter = {(An.nnz-nnz_d)/dt/1e9:7.2f} Gnnz/s "

@@ -270,7 +270,7 @@ class CSRMatrix:
         dpos = np.searchsorted(offsets, offsets_all)
         data[dpos, rows] = self.data
         return DiaMatrix(
-            data=to_device(data, dtype),
+            data=tuple(to_device(row, dtype) for row in data),
             offsets=tuple(int(o) for o in offsets),
             shape=(n_pad, n_pad),
             logical_n=n,
@@ -336,12 +336,20 @@ class EllMatrix:
 )
 @dataclasses.dataclass(frozen=True)
 class DiaMatrix:
-    """Diagonal storage: ``data[d, i] * x[i + offsets[d]]`` sums into ``y[i]``.
-    Offsets are static metadata so the SpMV unrolls into ``ndiag`` shifted
-    multiplies -- no gathers at all. ``shape`` may be padded square
-    (zero-extended); ``logical_n`` is the true problem size."""
+    """Diagonal storage: ``data[d][i] * x[i + offsets[d]]`` sums into
+    ``y[i]``. Offsets are static metadata so the SpMV unrolls into
+    ``ndiag`` shifted multiplies -- no gathers at all. ``shape`` may be
+    padded square (zero-extended); ``logical_n`` is the true problem size.
 
-    data: jax.Array  # (ndiag, n_pad)
+    ``data`` is a TUPLE of per-diagonal (n_pad,) arrays, not one
+    (ndiag, n_pad) array: a 2-D device ARGUMENT gets the default
+    (8,128)-tiled row-major layout, so reading one diagonal row touches
+    1/8 of every fetched tile — measured 10.7x SpMV slowdown vs the same
+    data as separate contiguous 1-D operands (22.9 vs 245 Gnnz/s on the
+    v5e 7-diagonal flagship; closure-constants dodged it only because XLA
+    re-lays out constants)."""
+
+    data: Tuple[jax.Array, ...]  # ndiag x (n_pad,)
     offsets: Tuple[int, ...]
     shape: Tuple[int, int]
     logical_n: int = -1
@@ -352,7 +360,7 @@ class DiaMatrix:
 
     @property
     def dtype(self):
-        return self.data.dtype
+        return self.data[0].dtype
 
 
 @partial(

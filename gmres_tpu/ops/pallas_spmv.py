@@ -87,11 +87,11 @@ def dia_pallas_supported(A: DiaMatrix) -> bool:
     n_pad = A.shape[0]
     return (
         pallas_enabled()
-        and A.data.dtype == jnp.float32  # no f64 vregs in Mosaic
+        and A.dtype == jnp.float32  # no f64 vregs in Mosaic
         and n_pad % _LANES == 0
         and _pick_tile(n_pad) is not None
         and n_pad <= _VMEM_X_LIMIT
-        and int(A.data.shape[1]) == n_pad
+        and int(A.data[0].shape[0]) == n_pad
     )
 
 
@@ -108,7 +108,7 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, interpret: bool = False):
     if tile is None:
         raise ValueError(f"n_pad={n_pad} not a multiple of 1024")
     dtype = x.dtype
-    ndiag = A.data.shape[0]
+    ndiag = len(A.data)
     rpt = tile // _LANES
     # explicit zero lead/tail so every (s0, s0+1) slice is strictly in
     # bounds: lead covers the most-negative offset, tail covers the
@@ -120,7 +120,7 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, interpret: bool = False):
     x2d = jnp.concatenate(
         [jnp.zeros((lead,), dtype), x, jnp.zeros((tail,), dtype)]
     ).reshape(-1, _LANES)
-    data3 = A.data.reshape(ndiag, n_pad // _LANES, _LANES)
+    data3 = jnp.stack(A.data).reshape(ndiag, n_pad // _LANES, _LANES)
     acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
     kern = partial(_dia_kernel, A.offsets, lead, rpt, acc_dtype)
     out = pl.pallas_call(

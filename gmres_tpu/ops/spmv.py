@@ -43,10 +43,10 @@ def dia_spmv_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
     maxneg = max(0, -min(A.offsets)) if A.offsets else 0
     maxpos = max(0, max(A.offsets)) if A.offsets else 0
     xp = jnp.pad(x, (maxneg, maxpos))
-    y = jnp.zeros((n,), dtype=jnp.result_type(A.data.dtype, x.dtype))
+    y = jnp.zeros((n,), dtype=jnp.result_type(A.dtype, x.dtype))
     for d_idx, off in enumerate(A.offsets):
         seg = jax.lax.dynamic_slice_in_dim(xp, off + maxneg, n)
-        y = y + A.data[d_idx, :] * seg
+        y = y + A.data[d_idx] * seg
     return y
 
 

@@ -696,7 +696,7 @@ class HybridMatrix:
 
     @property
     def dtype(self):
-        return self.dia.data.dtype
+        return self.dia.dtype
 
 
 @partial(
