@@ -90,3 +90,41 @@ def test_discovery_order_documented_escape_hatch(pg_mna):
         write_pg_netlist(p, nx=50, layers=2, seed=3)
         disc = load_netlist(p, order="natural")
         assert n_offsets(disc) >= 10 * n_offsets(mna)
+
+
+def test_opaque_names_route_fast_path(tmp_path):
+    """A 100K-node netlist with OPAQUE node names (no coordinate tuples)
+    must still land the operator on the DIA/hybrid fast-path formats
+    (VERDICT r3 #7). The load-time policy measures: geometric naming fails
+    -> hybrid-viability score of discovery order (for this class the
+    element listing keeps the 5 stencil diagonals and the post-promotion
+    remainder fits the COO bound) -> RCM only if it measurably wins
+    (here it would shred coverage 86.5% -> 19.8%, so it must NOT fire)."""
+    import random
+    import re
+
+    src = tmp_path / "pg.sp"
+    write_pg_netlist(src, nx=224, layers=2, seed=5)
+    txt = src.read_text()
+    names = sorted(set(re.findall(r"\bn\d+_\d+_\d+\b", txt)))
+    rng = random.Random(0)
+    order = list(range(len(names)))
+    rng.shuffle(order)
+    mapping = {nm: f"x{order[k]}q" for k, nm in enumerate(names)}
+    dst = tmp_path / "pg_opaque.sp"
+    dst.write_text(re.sub(r"\bn\d+_\d+_\d+\b",
+                          lambda m: mapping[m.group(0)], txt))
+
+    from gmres_tpu.frontend.mna import geometric_node_order
+
+    mna = load_netlist(str(dst))           # order="auto"
+    assert mna.num_nodes >= 100_000
+    assert geometric_node_order(mna.node_index, mna.num_nodes) is None
+    dev = device_matrix(mna.G, backend="tpu")
+    assert isinstance(dev, FAST), type(dev).__name__
+    # the hybrid's remainder must be the COO scatter path (>=1x-bar class),
+    # not the gather/slab fallback
+    if isinstance(dev, HybridMatrix):
+        from gmres_tpu.ops.formats import DeviceCOO
+
+        assert isinstance(dev.rest, DeviceCOO), type(dev.rest).__name__
