@@ -100,19 +100,35 @@ def _chunked_gmres(Aop, bd, M, *, restart, tol, maxiter, dispatch_iters,
     (progress < 0.1%/chunk, the solver's own stall-guard factor), not
     inferred from iteration counts, which misses stalls that land exactly on
     the chunk boundary.
+    ``maxiter`` is a jit STATIC argname of the solver, so every distinct
+    chunk size compiles a fresh XLA program. The adaptive size is therefore
+    QUANTIZED to a power of two (the whole run touches a handful of
+    programs instead of one per chunk), and a dispatch that carried a
+    compile (first time a size is seen) never feeds the per-iteration
+    timing — on the remote TPU backend compile time lands inside ``wall``
+    and would shrink the next chunk, compounding the recompiles on exactly
+    the long solves this targets (ADVICE r4 #1).
     """
     import time
 
-    chunk = max(restart, min(int(dispatch_iters), maxiter))
+    def _quant(c):
+        # round down to a power of two, floored at restart
+        c = max(int(c), restart, 1)
+        return max(restart, 1 << (c.bit_length() - 1))
+
+    chunk = _quant(min(int(dispatch_iters), maxiter))
     x0g = x0
     res = None
     spent = 0
     prev_res = float("inf")
-    first = True
+    seen_sizes = set()
     while spent < maxiter:
+        eff = min(chunk, maxiter - spent)
+        cold = eff not in seen_sizes
+        seen_sizes.add(eff)
         t0 = time.perf_counter()
         res = gmres(Aop, bd, x0=x0g, restart=restart, tol=tol,
-                    maxiter=min(chunk, maxiter - spent), M_left=M,
+                    maxiter=eff, M_left=M,
                     A_hi=A_hi, work_dtype=work_dtype)
         it = int(res.iterations)
         wall = time.perf_counter() - t0
@@ -123,15 +139,14 @@ def _chunked_gmres(Aop, bd, M, *, restart, tol, maxiter, dispatch_iters,
                   flush=True)
         if bool(res.converged):
             break
-        if it < chunk or r > 0.999 * prev_res:
+        if it < eff or r > 0.999 * prev_res:
             # gave up early (stall guard / breakdown), or a whole chunk of
             # warm restarts moved the residual by <0.1% — re-dispatching
             # would re-stall
             break
         prev_res = r
-        if not first and it > 0:
-            chunk = max(restart, min(int(chunk_budget_s / (wall / it)),
-                                     maxiter - spent))
-        first = False
+        if not cold and it > 0:
+            chunk = _quant(min(chunk_budget_s / (wall / it),
+                               maxiter - spent))
         x0g = res.x
     return res

@@ -208,8 +208,19 @@ def _batched_gmres_samples(Gs, Cs, samples, rhs, dtype=jnp.float32,
     pname = resolve_precond(precond, Gcsr)
     M = make_preconditioner(pname, Gcsr, dtype=dtype, fmt="auto")
 
-    bytes_per_sample = (restart + 2) * n * 4
-    group = max(1, min(len(samples), group_bytes // max(bytes_per_sample, 1)))
+    # Size groups from the ACTUAL dtypes (ADVICE r4 #4): the Krylov basis
+    # is 4 B/elem in f32, but under GMRES-IR b/x0/x and the true-residual
+    # vectors are f64 (8 B), and the f64 G/C operator copies are resident —
+    # subtract that fixed footprint from the budget instead of overshooting
+    # it ~2x at contest scale.
+    work_bytes = jnp.dtype(dtype).itemsize
+    vec_bytes = 8 if use_ir else work_bytes
+    bytes_per_sample = (restart + 2) * n * work_bytes + 6 * n * vec_bytes
+    fixed = 0
+    if use_ir:
+        fixed = 2 * (Gcsr.nnz + Ccsr.nnz) * 8   # f64 G/C device copies
+    avail = max(group_bytes - fixed, bytes_per_sample)
+    group = max(1, min(len(samples), avail // max(bytes_per_sample, 1)))
 
     hi = jnp.float64 if use_ir else dtype
 
