@@ -146,23 +146,18 @@ def _hybrid_score(G, min_density: float = 0.25, max_diags: int = 96):
     reference bar). Raw dense-diagonal coverage alone misjudges: 524K
     discovery-order shows 86.5% coverage with a 358K-nnz/154K-offset
     remainder that still forces the gather path (MEASUREMENTS r3)."""
+    from gmres_tpu.ops.well import promotion_plan
+
     n = G.shape[0]
     if G.nnz == 0:
         return 0.0, 0
     coo = G.tocoo()
     off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
     diag, counts = np.unique(off, return_counts=True)
-    dense = diag[counts >= min_density * n]
-    cov = float(counts[np.isin(diag, dense)].sum()) / G.nnz
-    promote_min = max(64, n // 2048)
-    room = max_diags - dense.size
-    ci = np.array([], dtype=np.int64)
-    if room > 0:
-        cand = (counts >= promote_min) & ~np.isin(diag, dense)
-        ci = np.nonzero(cand)[0]
-        ci = ci[np.argsort(-counts[ci])][:room]
-    rest = int(G.nnz - counts[np.isin(diag, dense)].sum()
-               - counts[ci].sum())
+    dense, rest = promotion_plan(diag, counts, n, G.nnz,
+                                 min_density=min_density,
+                                 max_diags=max_diags)
+    cov = float(G.nnz - rest) / G.nnz
     return cov, rest
 
 

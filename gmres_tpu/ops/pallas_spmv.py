@@ -47,8 +47,8 @@ def _shifted_window(x_ref, s0, nrows, r):
     return jnp.where(lane < _LANES - r, Ar, Br)
 
 
-def _dia_kernel(offsets, lead, rows_per_tile, acc_dtype, x_ref, data_ref,
-                out_ref):
+def _dia_kernel(offsets, lead, rows_per_tile, acc_dtype, x_ref, *refs):
+    *data_refs, out_ref = refs
     i = pl.program_id(0)
     acc = jnp.zeros((rows_per_tile, _LANES), dtype=acc_dtype)
     for d, off in enumerate(offsets):
@@ -57,7 +57,7 @@ def _dia_kernel(offsets, lead, rows_per_tile, acc_dtype, x_ref, data_ref,
         q = (start - r) // _LANES
         s0 = i * rows_per_tile + q
         sh = _shifted_window(x_ref, s0, rows_per_tile, r)
-        acc = acc + data_ref[d].astype(acc_dtype) * sh.astype(acc_dtype)
+        acc = acc + data_refs[d][:].astype(acc_dtype) * sh.astype(acc_dtype)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
@@ -120,8 +120,16 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, interpret: bool = False):
     x2d = jnp.concatenate(
         [jnp.zeros((lead,), dtype), x, jnp.zeros((tail,), dtype)]
     ).reshape(-1, _LANES)
-    data3 = jnp.stack(A.data).reshape(ndiag, n_pad // _LANES, _LANES)
+    # per-diagonal leaves ride straight into the kernel as separate inputs:
+    # the old jnp.stack(A.data) materialized a full copy of the matrix data
+    # (the same bytes the SpMV then reads) on EVERY apply — inside a GMRES
+    # while_loop that re-ran per iteration (ADVICE r4 #3)
     acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+    def _tile_idx(i):
+        return (i.astype(jnp.int32) if hasattr(i, "astype")
+                else jnp.int32(i))
+
     kern = partial(_dia_kernel, A.offsets, lead, rpt, acc_dtype)
     out = pl.pallas_call(
         kern,
@@ -133,15 +141,18 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, interpret: bool = False):
             pl.BlockSpec(x2d.shape,
                          lambda i: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
+        ] + [
             pl.BlockSpec(
-                (ndiag, rpt, _LANES), lambda i: (jnp.int32(0), i.astype(jnp.int32) if hasattr(i, 'astype') else jnp.int32(i), jnp.int32(0)),
+                (rpt, _LANES), lambda i: (_tile_idx(i), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+            for _ in range(ndiag)
         ],
         out_specs=pl.BlockSpec(
-            (rpt, _LANES), lambda i: (i.astype(jnp.int32) if hasattr(i, 'astype') else jnp.int32(i), jnp.int32(0)), memory_space=pltpu.VMEM
+            (rpt, _LANES), lambda i: (_tile_idx(i), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad // _LANES, _LANES), dtype),
         interpret=interpret,
-    )(x2d, data3)
+    )(x2d, *(d.reshape(n_pad // _LANES, _LANES) for d in A.data))
     return out.reshape(n_pad)

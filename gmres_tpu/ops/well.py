@@ -368,24 +368,59 @@ def well_spmv_reference(A: WellMatrix, x: jax.Array) -> jax.Array:
 
 _GROUP = 16               # chunks per grid group (static unroll length)
 _SLAB_CAP = 512           # max slab windows (512*128*4B = 256 KB VMEM)
+_PLANE_MIN = 32           # (tile,window) groups below this entry count go
+                          # to the scatter-planes section: on the RCM-banded
+                          # 100K PG bench matrix, groups with <32 entries are
+                          # 78% of all groups and >half of all slot-rows but
+                          # only 10.5% of the nnz (measured r5) — packing
+                          # them as 128-lane slot-rows is what held the v2
+                          # kernel at 7.8% slot utilization
+_PLANES_PER_BATCH = 8     # planes statically unrolled per grid step
+_PLANE_SW = 32            # window span per plane: each plane's entries live
+                          # in a 32-window (4096-col) bucket, so the kernel
+                          # sweeps a (32, 128) slice instead of the whole
+                          # slab — plane cost drops from ~(slab/8*3+10) to
+                          # ~22 vector ops while plane count grows only
+                          # ~1.5x (measured r5 on the 100K RCM bench matrix:
+                          # 381 -> 559 planes, 21K -> 12K total plane ops)
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "lcols", "widx", "lrow", "gout", "gfirst", "base",
-                 "spill_rows", "spill_cols", "spill_vals"],
+    data_fields=["vals", "lcols", "widx", "lrow", "gout", "gfirst", "gwork",
+                 "base", "pvals", "plcol", "pwin", "ptrow", "pout", "pfirst",
+                 "pwork", "pwbase", "spill_rows", "spill_cols", "spill_vals"],
     meta_fields=["shape", "logical_n", "tiles_per_step", "group",
-                 "slab", "steps"],
+                 "slab", "steps", "planes_per_batch", "sw"],
 )
 @dataclasses.dataclass(frozen=True)
 class WellSlabMatrix:
-    """Chunk-group slab layout (v2 kernel).
+    """Chunk-group slab layout (v3 kernel): dense slot-rows + scatter planes.
 
+    Dense section — (tile,window) groups holding >= plane_min entries:
     vals/lcols: (ngroups, G, 8, 128); widx: (ngroups, G*8, 1) int32 window
-    indices RELATIVE to the group's slab base; base/gout/gfirst:
+    indices RELATIVE to the group's slab base; base/gout/gfirst/gwork:
     (ngroups,) int32 (slab base window, output step index, first-group-of-
-    step flag); lrow: (ngroups*G,) int32 tile-in-step of each chunk;
-    spill_*: COO tail (may be empty)."""
+    step flag, group-has-real-chunks flag); lrow: (ngroups*G,) int32
+    tile-in-step of each chunk.
+
+    Scatter-planes section — the remaining scattered entries, keyed by
+    OUTPUT LANE instead of (tile,window): plane p holds up to 128 entries
+    with distinct output lanes r from a single ``sw``-window bucket, each
+    carrying its own in-bucket window ``pwin``, in-window column ``plcol``
+    and target tile-in-step ``ptrow`` (any tile of the step). The kernel
+    slices the plane's (sw, 128) bucket out of the resident x (per-plane
+    scalar-prefetched base ``pwbase``), gathers ``bucket[:, plcol[r]]``
+    with one broadcast lane-gather, selects each entry's window row with a
+    mask sweep, and merges into the output block by an elementwise
+    tile-iota compare — ~22 vector ops per up-to-128 scattered entries,
+    where a slot-row would burn a full (8,128) chunk slot per ~1-8
+    entries. pvals: (nbatch, PB, 128) in the matrix dtype;
+    plcol/pwin/ptrow: (nbatch, PB, 128) int8 (in-window column < 128,
+    in-bucket window < sw, tile-in-step < tps); pout/pfirst/pwork:
+    (nbatch,) int32; pwbase: (nbatch*PB,) int32 absolute window base.
+
+    spill_*: COO tail for entries outside the step's slab window (rare)."""
 
     vals: jax.Array
     lcols: jax.Array
@@ -393,7 +428,16 @@ class WellSlabMatrix:
     lrow: jax.Array
     gout: jax.Array
     gfirst: jax.Array
+    gwork: jax.Array
     base: jax.Array
+    pvals: jax.Array
+    plcol: jax.Array
+    pwin: jax.Array
+    ptrow: jax.Array
+    pout: jax.Array
+    pfirst: jax.Array
+    pwork: jax.Array
+    pwbase: jax.Array
     spill_rows: jax.Array
     spill_cols: jax.Array
     spill_vals: jax.Array
@@ -403,14 +447,28 @@ class WellSlabMatrix:
     group: int
     slab: int
     steps: int
+    planes_per_batch: int
+    sw: int
 
     @property
     def ngroups(self) -> int:
         return self.vals.shape[0]
 
     @property
+    def nbatches(self) -> int:
+        return self.pvals.shape[0]
+
+    @property
     def dtype(self):
         return self.vals.dtype
+
+    @property
+    def has_dense(self) -> bool:
+        return self.vals.shape[0] > 0
+
+    @property
+    def has_planes(self) -> bool:
+        return self.pvals.shape[0] > 0
 
     @property
     def spill_nnz(self) -> int:
@@ -419,92 +477,186 @@ class WellSlabMatrix:
 
 def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
                  slab_cap: int = _SLAB_CAP, max_spill_frac: float = 0.05,
-                 group: int = _GROUP):
-    """Pack host CSR into the v2 chunk-group slab layout, or None when the
-    matrix doesn't fit (slab wider than ``slab_cap`` with too many spilled
-    entries) -- callers fall back to :func:`to_well`."""
-    W1 = to_well(A, tiles_per_step=tiles_per_step, as_numpy=True)
-    steps, M = W1.steps, W1.chunks_per_step
-    nwin = W1.shape[1] // _LANES
-    vals = np.array(W1.vals)                   # (steps, M, 8, 128), writable
-    lcols = np.array(W1.lcols)
-    widx = np.asarray(W1.widx).reshape(steps, M * _SLOTS)
-    valid = np.asarray(W1.valid).reshape(steps, M)
-    lrow1 = np.asarray(W1.lrow).reshape(steps, M)
-    # real chunks are a contiguous prefix of each step (pack order is by
-    # tile with per-tile contiguous chunk ranges)
-    nchunks = np.maximum(valid.sum(axis=1).astype(np.int64), 1)
+                 group: int = _GROUP, plane_min: int = _PLANE_MIN,
+                 planes_per_batch: int = _PLANES_PER_BATCH):
+    """Pack host CSR into the v3 slab layout (dense slot-rows + scatter
+    planes), or None when the matrix doesn't fit (more than
+    ``max_spill_frac`` of the nnz falls outside a ``slab_cap``-wide window
+    per step) -- callers fall back to :func:`to_well`."""
+    import scipy.sparse as sp
 
-    # per-step slab base over real slot-rows
-    real_sr = (vals != 0).any(axis=3).reshape(steps, M * _SLOTS)
-    w_masked = np.where(real_sr, widx, np.iinfo(np.int32).max)
-    sbase = w_masked.min(axis=1)
-    sbase = np.where(sbase == np.iinfo(np.int32).max, 0, sbase)
-    w_hi = np.where(real_sr, widx, -1).max(axis=1)
-    span = np.maximum(w_hi - sbase + 1, 1)
-    slab = min(int(-(-span.max() // 8) * 8), slab_cap)
-    if slab > nwin:
-        slab = nwin
+    n, ncols = A.shape
+    n_pad = round_up(max(n, _LANES), _LANES)
+    ncols_pad = round_up(max(ncols, _LANES), _LANES)
+    ntiles = n_pad // _LANES
+    ntiles_pad = round_up(ntiles, tiles_per_step)
+    steps = ntiles_pad // tiles_per_step
+    if n == ncols:
+        ncols_pad = max(ncols_pad, ntiles_pad * _LANES)
+    nwin = ncols_pad // _LANES
+    shape = (ntiles_pad * _LANES, ncols_pad)
+    G, PB = group, planes_per_batch
+
+    lengths = np.diff(A.indptr)
+    rows = np.repeat(np.arange(n), lengths).astype(np.int64)
+    cols = A.indices.astype(np.int64)
+    nnz = len(cols)
+    tile = rows // _LANES
+    stp = tile // tiles_per_step
+    lane = (rows % _LANES).astype(np.int32)
+    wind = cols // _LANES
+    lcol = (cols % _LANES).astype(np.int32)
+
+    # per-step slab base/span over ALL entries (dense + scattered share it)
+    BIG = np.iinfo(np.int64).max
+    sbase = np.full(steps, BIG)
+    np.minimum.at(sbase, stp, wind)
+    whi = np.full(steps, -1)
+    np.maximum.at(whi, stp, wind)
+    sbase = np.where(sbase == BIG, 0, sbase)
+    span = np.maximum(whi - sbase + 1, 1)
+    slab = min(int(-(-int(span.max()) // 8) * 8), slab_cap, nwin)
     if slab <= 0:
         return None
-    sbase = np.clip(sbase, 0, nwin - slab).astype(np.int32)
-    rel = widx - sbase[:, None]
-    in_slab = real_sr & (rel >= 0) & (rel < slab)
-    spill_sr = real_sr & ~in_slab
+    sbase = np.clip(sbase, 0, nwin - slab).astype(np.int64)
+    rel = wind - sbase[stp]
+    in_slab = (rel >= 0) & (rel < slab)
+    if (~in_slab).sum() > max_spill_frac * max(nnz, 1):
+        return None
+    sp_rows = rows[~in_slab].astype(np.int32)
+    sp_cols = cols[~in_slab].astype(np.int32)
+    sp_vals = A.data[~in_slab].astype(np.float64)
 
-    # spill entries -> COO (global rows/cols)
-    if spill_sr.any():
-        sp_rows, sp_cols, sp_vals = [], [], []
-        st_idx, sr_idx = np.nonzero(spill_sr)
-        for s, r in zip(st_idx, sr_idx):
-            m, sub = r // _SLOTS, r % _SLOTS
-            v = vals[s, m, sub]
-            lanes = np.nonzero(v != 0)[0]
-            grow = (s * tiles_per_step + lrow1[s, m]) * _LANES + lanes
-            gcol = widx[s, r] * _LANES + lcols[s, m, sub, lanes]
-            sp_rows.append(grow)
-            sp_cols.append(gcol)
-            sp_vals.append(v[lanes])
-            vals[s, m, sub] = 0.0
-            lcols[s, m, sub] = 0
-        sp_rows = np.concatenate(sp_rows)
-        sp_cols = np.concatenate(sp_cols)
-        sp_vals = np.concatenate(sp_vals)
-        if len(sp_vals) > max_spill_frac * max(A.nnz, 1):
-            return None
+    # occupancy split: (tile, window) groups below plane_min entries go to
+    # the scatter planes, the rest to 128-lane slot-rows
+    key = tile * np.int64(nwin) + wind
+    _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    dense_e = in_slab & (cnt[inv] >= plane_min)
+    plane_e = in_slab & ~dense_e
+
+    # ---- dense section: pack via to_well, regroup into G-chunk groups ----
+    Sd = sp.coo_matrix((A.data[dense_e], (rows[dense_e], cols[dense_e])),
+                       shape=A.shape).tocsr()
+    has_dense = Sd.nnz > 0
+    if has_dense:
+        W1 = to_well(CSRMatrix.from_scipy(Sd), tiles_per_step=tiles_per_step,
+                     as_numpy=True)
+        assert W1.shape == shape and W1.steps == steps, (W1.shape, shape)
+        M = W1.chunks_per_step
+        vals1 = np.asarray(W1.vals)            # (steps, M, 8, 128)
+        lcols1 = np.asarray(W1.lcols)
+        widx1 = np.asarray(W1.widx).reshape(steps, M * _SLOTS)
+        valid1 = np.asarray(W1.valid).reshape(steps, M)
+        lrow1 = np.asarray(W1.lrow).reshape(steps, M)
+        nchunks = np.maximum(valid1.sum(axis=1).astype(np.int64), 1)
+        rel1 = (widx1 - sbase[:, None]).clip(0, slab - 1).astype(np.int32)
+        rel3 = rel1.reshape(steps, M, _SLOTS)
+
+        gps = (-(-nchunks // G)).astype(np.int64)   # groups per step (>=1)
+        ngroups = int(gps.sum())
+        Vg = np.zeros((ngroups, G, _SLOTS, _LANES))
+        Cg = np.zeros((ngroups, G, _SLOTS, _LANES), dtype=np.int8)
+        Wg = np.zeros((ngroups, G * _SLOTS, 1), dtype=np.int32)
+        Lg = np.zeros(ngroups * G, dtype=np.int32)
+        gout = np.zeros(ngroups, dtype=np.int32)
+        gfirst = np.zeros(ngroups, dtype=np.int32)
+        gwork = np.zeros(ngroups, dtype=np.int32)
+        gbase = np.zeros(ngroups, dtype=np.int32)
+        gi = 0
+        for s in range(steps):
+            real = int(valid1[s].sum())
+            for k in range(int(gps[s])):
+                lo = k * G
+                hi = min(lo + G, int(nchunks[s]))
+                cnt_k = hi - lo
+                Vg[gi, :cnt_k] = vals1[s, lo:hi]
+                Cg[gi, :cnt_k] = lcols1[s, lo:hi]
+                Wg[gi, : cnt_k * _SLOTS, 0] = rel3[s, lo:hi].reshape(-1)
+                Lg[gi * G: gi * G + cnt_k] = lrow1[s, lo:hi]
+                gout[gi] = s
+                gfirst[gi] = 1 if k == 0 else 0
+                gwork[gi] = 1 if min(hi, real) > lo else 0
+                gbase[gi] = sbase[s]
+                gi += 1
+        assert gi == ngroups
     else:
-        sp_rows = np.zeros(0, np.int32)
-        sp_cols = np.zeros(0, np.int32)
-        sp_vals = np.zeros(0, np.float64)
-    rel = np.where(in_slab, rel, 0).astype(np.int32)
-    rel3 = rel.reshape(steps, M, _SLOTS)
+        ngroups = 0
+        Vg = np.zeros((0, G, _SLOTS, _LANES))
+        Cg = np.zeros((0, G, _SLOTS, _LANES), dtype=np.int8)
+        Wg = np.zeros((0, G * _SLOTS, 1), dtype=np.int32)
+        Lg = np.zeros(0, dtype=np.int32)
+        gout = gfirst = gwork = gbase = np.zeros(0, dtype=np.int32)
 
-    # regroup real chunk prefixes into fixed-size groups (pad last of step)
-    G = group
-    gps = (-(-nchunks // G)).astype(np.int64)   # groups per step
-    ngroups = int(gps.sum())
-    Vg = np.zeros((ngroups, G, _SLOTS, _LANES))
-    Cg = np.zeros((ngroups, G, _SLOTS, _LANES), dtype=np.int32)
-    Wg = np.zeros((ngroups, G * _SLOTS, 1), dtype=np.int32)
-    Lg = np.zeros(ngroups * G, dtype=np.int32)
-    gout = np.zeros(ngroups, dtype=np.int32)
-    gfirst = np.zeros(ngroups, dtype=np.int32)
-    gbase = np.zeros(ngroups, dtype=np.int32)
-    gi = 0
-    for s in range(steps):
-        for k in range(int(gps[s])):
-            lo = k * G
-            hi = min(lo + G, int(nchunks[s]))
-            cnt = hi - lo
-            Vg[gi, :cnt] = vals[s, lo:hi]
-            Cg[gi, :cnt] = lcols[s, lo:hi]
-            Wg[gi, : cnt * _SLOTS, 0] = rel3[s, lo:hi].reshape(-1)
-            Lg[gi * G: gi * G + cnt] = lrow1[s, lo:hi]
-            gout[gi] = s
-            gfirst[gi] = 1 if k == 0 else 0
-            gbase[gi] = sbase[s]
-            gi += 1
-    assert gi == ngroups
+    # ---- scatter-planes section ----
+    SW = min(_PLANE_SW, max(slab, 8), nwin)
+    pm = plane_e
+    has_planes = bool(pm.any())
+    if has_planes:
+        e_stp = stp[pm]
+        e_trow = (tile[pm] % tiles_per_step).astype(np.int64)
+        e_lane = lane[pm].astype(np.int64)
+        e_wind = wind[pm]
+        e_lcol = lcol[pm].astype(np.int64)
+        e_val = A.data[pm].astype(np.float64)
+        # bucket entries by SW-aligned absolute window ranges; the last
+        # bucket's base clips so the (SW, 128) slice stays in bounds
+        e_bkt = e_wind // SW
+        e_wb = np.minimum(e_bkt * SW, nwin - SW)
+        e_rw = e_wind - e_wb                      # in-bucket window, < SW
+        assert int(e_rw.max(initial=0)) < SW, "bucket overflow"
+        assert tiles_per_step <= 127, "ptrow is int8"
+        # plane index = running count within (step, bucket, output lane);
+        # planes of one (step, bucket) share one scalar window base
+        key2 = (e_stp * np.int64(nwin + SW) + e_bkt) * _LANES + e_lane
+        order = np.argsort(key2, kind="stable")
+        k2 = key2[order]
+        idx = np.arange(len(k2))
+        change = np.ones(len(k2), dtype=bool)
+        change[1:] = k2[1:] != k2[:-1]
+        start = np.maximum.accumulate(np.where(change, idx, 0))
+        mult = idx - start                 # multiplicity within (s,b,lane)
+        # plane key per entry = (step, bucket, mult); enumerate planes in
+        # that lexicographic order, contiguous per step
+        pk = (e_stp[order] * np.int64(nwin + SW) + e_bkt[order]) * 512 \
+            + mult
+        upk, inv_pk = np.unique(pk, return_inverse=True)
+        plane_stp = (upk // 512) // np.int64(nwin + SW)
+        plane_wb = np.minimum(((upk // 512) % np.int64(nwin + SW)) * SW,
+                              nwin - SW)
+        nplanes_step = np.zeros(steps, dtype=np.int64)
+        np.add.at(nplanes_step, plane_stp, 1)
+        bps = (-(-np.maximum(nplanes_step, 1) // PB)).astype(np.int64)
+        nbatch = int(bps.sum())
+        batch_base = np.cumsum(bps) - bps         # first batch of each step
+        # plane slot (batch, j) in step-major order
+        pl_order = np.argsort(plane_stp, kind="stable")
+        slot_of_plane = np.empty(len(upk), dtype=np.int64)
+        run = np.arange(len(upk)) - np.repeat(
+            np.cumsum(nplanes_step) - nplanes_step, nplanes_step)
+        slot_of_plane[pl_order] = (batch_base[plane_stp[pl_order]] * PB
+                                   + run)
+        Pv = np.zeros((nbatch, PB, _LANES))
+        Pl = np.zeros((nbatch, PB, _LANES), dtype=np.int8)
+        Pw = np.zeros((nbatch, PB, _LANES), dtype=np.int8)
+        Pt = np.zeros((nbatch, PB, _LANES), dtype=np.int8)
+        pwbase = np.zeros(nbatch * PB, dtype=np.int32)
+        pwbase[slot_of_plane] = plane_wb.astype(np.int32)
+        es = slot_of_plane[inv_pk]                # flat plane slot per entry
+        b_of_e, j_of_e = es // PB, es % PB
+        Pv[b_of_e, j_of_e, e_lane[order]] = e_val[order]
+        Pl[b_of_e, j_of_e, e_lane[order]] = e_lcol[order]
+        Pw[b_of_e, j_of_e, e_lane[order]] = e_rw[order]
+        Pt[b_of_e, j_of_e, e_lane[order]] = e_trow[order]
+        pout = np.repeat(np.arange(steps, dtype=np.int32), bps)
+        pfirst = np.zeros(nbatch, dtype=np.int32)
+        pfirst[batch_base] = 1
+        pwork = np.zeros(nbatch, dtype=np.int32)
+        pwork[np.unique(b_of_e)] = 1
+    else:
+        Pv = np.zeros((0, PB, _LANES))
+        Pl = Pw = Pt = np.zeros((0, PB, _LANES), dtype=np.int8)
+        pout = pfirst = pwork = np.zeros(0, dtype=np.int32)
+        pwbase = np.zeros(0, dtype=np.int32)
 
     return WellSlabMatrix(
         vals=to_device(Vg, dtype),
@@ -513,103 +665,220 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
         lrow=jnp.asarray(Lg),
         gout=jnp.asarray(gout),
         gfirst=jnp.asarray(gfirst),
+        gwork=jnp.asarray(gwork),
         base=jnp.asarray(gbase),
-        spill_rows=jnp.asarray(sp_rows.astype(np.int32)),
-        spill_cols=jnp.asarray(sp_cols.astype(np.int32)),
+        pvals=to_device(Pv, dtype),
+        plcol=jnp.asarray(Pl),
+        pwin=jnp.asarray(Pw),
+        ptrow=jnp.asarray(Pt),
+        pout=jnp.asarray(pout),
+        pfirst=jnp.asarray(pfirst),
+        pwork=jnp.asarray(pwork),
+        pwbase=jnp.asarray(pwbase),
+        spill_rows=jnp.asarray(sp_rows),
+        spill_cols=jnp.asarray(sp_cols),
         spill_vals=to_device(sp_vals, dtype),
-        shape=W1.shape,
-        logical_n=W1.logical_n,
+        shape=shape,
+        logical_n=n,
         tiles_per_step=tiles_per_step,
         group=G,
         slab=slab,
         steps=steps,
+        planes_per_batch=PB,
+        sw=SW,
     )
 
 
-def _well_slab_kernel(G, tps, slab, gout_ref, gfirst_ref, base_ref, lr_ref,
-                      x_ref, widx_ref, vals_ref, cols_ref, out_ref):
+def _select_windows(widx_row, xslab, shape2, out_dtype):
+    """W[sr] = xslab[widx_row[sr]] via one-hot matmul on the MXU.
+
+    The selector rows are one-hot, so each output element is a SINGLE
+    product — no accumulation error. For f32 x that makes a 3-term bf16
+    split exact (hi/mid/lo recover all 24 mantissa bits, each pass exact
+    because the 0/1 selector is exact in bf16): 3 default-precision MXU
+    passes instead of Precision.HIGHEST's 6 (measured r5: 81.5 -> 72.5 us
+    on the 100K RCM bench matrix at G=32). bf16 x needs a single pass."""
+    dn = (((1,), (0,)), ((), ()))
+    if xslab.dtype not in (jnp.float32, jnp.bfloat16):
+        # f64 (interpret-mode tests; the TPU dispatch routes f64 to the
+        # reference executor): multi-pass HIGHEST keeps full precision
+        sel64 = (widx_row == lax.broadcasted_iota(
+            jnp.int32, shape2, 1)).astype(xslab.dtype)
+        return lax.dot_general(sel64, xslab, dn,
+                               precision=lax.Precision.HIGHEST,
+                               preferred_element_type=xslab.dtype
+                               ).astype(out_dtype)
+    sel = (widx_row == lax.broadcasted_iota(
+        jnp.int32, shape2, 1)).astype(jnp.bfloat16)
+    if xslab.dtype == jnp.bfloat16:
+        return lax.dot_general(
+            sel, xslab, dn, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+    xs = xslab.astype(jnp.float32)
+    hi = xs.astype(jnp.bfloat16)
+    r1 = xs - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    W = (lax.dot_general(sel, hi, dn, preferred_element_type=jnp.float32)
+         + lax.dot_general(sel, mid, dn, preferred_element_type=jnp.float32)
+         + lax.dot_general(sel, lo, dn, preferred_element_type=jnp.float32))
+    return W.astype(out_dtype)
+
+
+def _well_slab_kernel(G, tps, slab, gout_ref, gfirst_ref, gwork_ref,
+                      base_ref, lr_ref, x_ref, widx_ref, vals_ref, cols_ref,
+                      out_ref):
     i = pl.program_id(0)
 
     @pl.when(gfirst_ref[i] == 1)
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    xslab = x_ref[pl.ds(base_ref[i], slab), :]              # (slab, 128)
-    # The one-hot operand is exact in bf16 (0/1 coefficients) but the x
-    # operand is NOT: at default TPU matmul precision the MXU truncates
-    # f32 inputs to bf16, costing ~2e-3 relative error in x (caught by the
-    # bench verify on real hardware). Mosaic has no per-operand precision,
-    # so both sides take the multi-pass split (exact for f32).
-    acc_dt = (jnp.float32 if out_ref.dtype in (jnp.float32, jnp.bfloat16)
-              else out_ref.dtype)
-    sel = (widx_ref[0] == lax.broadcasted_iota(
-        jnp.int32, (G * _SLOTS, slab), 1)).astype(acc_dt)
-    W = lax.dot_general(
-        sel, xslab.astype(acc_dt),
-        (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=acc_dt,
-    ).astype(out_ref.dtype)                                  # (G*8, 128)
-    tile_iota = lax.broadcasted_iota(jnp.int32, (tps, 1), 0)
-    acc = jnp.zeros((tps, _LANES), out_ref.dtype)
-    for j in range(G):                                       # static unroll
-        # per chunk: lane gather + FMA reduce + one-hot row merge into the
-        # register accumulator (no dynamic-sublane reads or writes in the
-        # loop). Padding chunks carry vals == 0 and merge exact zeros --
-        # cheaper than a branch in Mosaic.
-        win8 = W[j * _SLOTS:(j + 1) * _SLOTS, :]
-        g = _lane_gather(win8, cols_ref[0, j])
-        contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
-        onehot = (tile_iota == lr_ref[i * G + j]).astype(out_ref.dtype)
-        acc = acc + onehot * contrib
-    out_ref[:] += acc
+    @pl.when(gwork_ref[i] == 1)
+    def _work():
+        xslab = x_ref[pl.ds(base_ref[i], slab), :]          # (slab, 128)
+        W = _select_windows(widx_ref[0], xslab, (G * _SLOTS, slab),
+                            out_ref.dtype)                  # (G*8, 128)
+        tile_iota = lax.broadcasted_iota(jnp.int32, (tps, 1), 0)
+        acc = jnp.zeros((tps, _LANES), out_ref.dtype)
+        for j in range(G):                                  # static unroll
+            # per chunk: lane gather + FMA reduce + one-hot row merge into
+            # the register accumulator (no dynamic-sublane reads or writes
+            # in the loop). Padding chunks carry vals == 0 and merge exact
+            # zeros -- cheaper than a branch in Mosaic.
+            win8 = W[j * _SLOTS:(j + 1) * _SLOTS, :]
+            g = _lane_gather(win8, cols_ref[0, j].astype(jnp.int32))
+            contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
+            onehot = (tile_iota == lr_ref[i * G + j]).astype(out_ref.dtype)
+            acc = acc + onehot * contrib
+        out_ref[:] += acc
+
+
+def _planes_kernel(PB, tps, sw, pout_ref, pfirst_ref, pwork_ref, pwb_ref,
+                   x_ref, win_ref, lcol_ref, trow_ref, vals_ref, out_ref):
+    """Scatter-planes executor: plane j holds <=128 entries with distinct
+    OUTPUT lanes from one sw-window bucket; per plane: a (sw, 128) slice of
+    the resident x at the plane's scalar-prefetched window base, one
+    broadcast lane-gather (g[w, r] = bucket[w, lcol[r]]), a window-select
+    mask sweep (C[r] = g[win[r], r]), and an elementwise tile-iota merge —
+    ~22 vector ops per up-to-128 scattered entries at sw=32."""
+    i = pl.program_id(0)
+
+    @pl.when(pfirst_ref[i] == 1)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(pwork_ref[i] == 1)
+    def _work():
+        wiota = lax.broadcasted_iota(jnp.int32, (sw, _LANES), 0)
+        tiota = lax.broadcasted_iota(jnp.int32, (tps, _LANES), 0)
+        acc = jnp.zeros((tps, _LANES), out_ref.dtype)
+        for j in range(PB):                                 # static unroll
+            xsub = x_ref[pl.ds(pwb_ref[i * PB + j], sw), :]  # (sw, 128)
+            lrow = lcol_ref[0, j].astype(jnp.int32)[None, :]
+            g = _lane_gather(xsub, jnp.broadcast_to(lrow, (sw, _LANES)))
+            m = win_ref[0, j].astype(jnp.int32)[None, :] == wiota
+            C = jnp.sum(jnp.where(m, g, jnp.zeros_like(g)), axis=0,
+                        keepdims=True)                      # (1, 128)
+            contrib = vals_ref[0, j][None, :] * C
+            acc = acc + jnp.where(
+                trow_ref[0, j].astype(jnp.int32)[None, :] == tiota,
+                contrib, jnp.zeros_like(acc))
+        out_ref[:] += acc
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def well_slab_spmv(A: WellSlabMatrix, x: jax.Array,
                    interpret: bool = False) -> jax.Array:
-    """y = A @ x for the v2 layout (+ XLA scatter-add spill tail)."""
+    """y = A @ x for the v3 layout: dense chunk-group kernel + scatter-
+    planes kernel (each skipped when its section is empty) + XLA
+    scatter-add spill tail."""
     if x.shape[0] != A.shape[1]:
         raise ValueError(f"x length {x.shape[0]} != padded cols {A.shape[1]}")
-    G, tps = A.group, A.tiles_per_step
+    G, tps, PB = A.group, A.tiles_per_step, A.planes_per_batch
     ntiles_pad = A.steps * tps
     x2d = x.reshape(A.shape[1] // _LANES, _LANES)
-    kern = partial(_well_slab_kernel, G, tps, A.slab)
-    out = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(A.ngroups,),
-            in_specs=[
-                # x resident (whole-array block, i32 map — see _i32)
-                pl.BlockSpec(x2d.shape, lambda i, *sc: _i32(0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (1, G * _SLOTS, 1), lambda i, *sc: _i32(i, 0, 0),
+    y = None
+    if A.has_dense:
+        kern = partial(_well_slab_kernel, G, tps, A.slab)
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(A.ngroups,),
+                in_specs=[
+                    # x resident (whole-array block, i32 map — see _i32)
+                    pl.BlockSpec(x2d.shape, lambda i, *sc: _i32(0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, G * _SLOTS, 1), lambda i, *sc: _i32(i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, G, _SLOTS, _LANES),
+                        lambda i, *sc: _i32(i, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, G, _SLOTS, _LANES),
+                        lambda i, *sc: _i32(i, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    # groups of one step are consecutive: the block stays in
+                    # VMEM across them and flushes when gout advances
+                    (tps, _LANES), lambda i, gout, *sc: _i32(gout[i], 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (1, G, _SLOTS, _LANES), lambda i, *sc: _i32(i, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, G, _SLOTS, _LANES), lambda i, *sc: _i32(i, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                # groups of one step are consecutive: the block stays in
-                # VMEM across them and flushes when gout advances
-                (tps, _LANES), lambda i, gout, *sc: _i32(gout[i], 0),
-                memory_space=pltpu.VMEM,
             ),
-        ),
-        out_shape=jax.ShapeDtypeStruct((ntiles_pad, _LANES), x.dtype),
-        interpret=interpret,
-    )(A.gout, A.gfirst, A.base, A.lrow, x2d, A.widx, A.vals, A.lcols)
+            out_shape=jax.ShapeDtypeStruct((ntiles_pad, _LANES), x.dtype),
+            interpret=interpret,
+        )(A.gout, A.gfirst, A.gwork, A.base, A.lrow, x2d, A.widx, A.vals,
+          A.lcols)
+        y = out
+    if A.has_planes:
+        kern = partial(_planes_kernel, PB, tps, A.sw)
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(A.nbatches,),
+                in_specs=[
+                    pl.BlockSpec(x2d.shape, lambda i, *sc: _i32(0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, PB, _LANES), lambda i, *sc: _i32(i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, PB, _LANES), lambda i, *sc: _i32(i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, PB, _LANES), lambda i, *sc: _i32(i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, PB, _LANES), lambda i, *sc: _i32(i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (tps, _LANES), lambda i, pout, *sc: _i32(pout[i], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((ntiles_pad, _LANES), x.dtype),
+            interpret=interpret,
+        )(A.pout, A.pfirst, A.pwork, A.pwbase, x2d, A.pwin, A.plcol,
+          A.ptrow, A.pvals)
+        y = out if y is None else y + out
+    if y is None:
+        y = jnp.zeros((ntiles_pad, _LANES), x.dtype)
     # the step grid may overshoot the padded row count (steps*tps*128 >=
     # shape[0]); trim so square operators stay square under lax loops
-    y = out.reshape(ntiles_pad * _LANES)[: A.shape[0]]
+    y = y.reshape(ntiles_pad * _LANES)[: A.shape[0]]
     if A.spill_nnz:
         contrib = A.spill_vals * jnp.take(x, A.spill_cols)
         y = y.at[A.spill_rows].add(contrib)
@@ -620,15 +889,33 @@ def well_slab_spmv_reference(A: WellSlabMatrix, x: jax.Array) -> jax.Array:
     """Pure-jnp executor with identical semantics (CPU/debug oracle)."""
     x2d = x.reshape(A.shape[1] // _LANES, _LANES)
     ng, G, tps = A.ngroups, A.group, A.tiles_per_step
-    gw = A.widx.reshape(ng, G, _SLOTS) + A.base[:, None, None]
-    win = jnp.take(x2d, gw, axis=0)                         # (ng, G, 8, 128)
-    g = jnp.take_along_axis(win, A.lcols, axis=3)
-    contrib = jnp.sum(A.vals * g, axis=2)                   # (ng, G, 128)
     out = jnp.zeros((A.steps * tps, _LANES), dtype=x.dtype)
-    rows = (A.gout[:, None] * tps + A.lrow.reshape(ng, G))
-    out = out.at[rows.reshape(-1)].add(
-        contrib.reshape(ng * G, _LANES), mode="drop"
-    )
+    if A.has_dense:
+        gw = A.widx.reshape(ng, G, _SLOTS) + A.base[:, None, None]
+        win = jnp.take(x2d, gw, axis=0)                     # (ng, G, 8, 128)
+        g = jnp.take_along_axis(win, A.lcols.astype(jnp.int32), axis=3)
+        contrib = jnp.sum(A.vals * g, axis=2)               # (ng, G, 128)
+        contrib = contrib * A.gwork[:, None, None].astype(contrib.dtype)
+        rows = (A.gout[:, None] * tps + A.lrow.reshape(ng, G))
+        out = out.at[rows.reshape(-1)].add(
+            contrib.reshape(ng * G, _LANES), mode="drop"
+        )
+    if A.has_planes:
+        nb, PB = A.nbatches, A.planes_per_batch
+        absw = (A.pwin.astype(jnp.int32)
+                + A.pwbase.reshape(nb, PB)[:, :, None])     # (nb, PB, 128)
+        xv = x2d[absw, A.plcol.astype(jnp.int32)]           # fancy gather
+        contrib = A.pvals * xv
+        contrib = contrib * A.pwork[:, None, None].astype(contrib.dtype)
+        rows = (A.pout[:, None, None] * tps
+                + A.ptrow.astype(jnp.int32))                # (nb, PB, 128)
+        lanes = jnp.broadcast_to(
+            jnp.arange(_LANES)[None, None, :], rows.shape)
+        flat = rows * _LANES + lanes
+        yflat = jnp.zeros(A.steps * tps * _LANES, dtype=x.dtype)
+        yflat = yflat.at[flat.reshape(-1)].add(
+            contrib.reshape(-1), mode="drop")
+        out = out + yflat.reshape(A.steps * tps, _LANES)
     y = out.reshape(-1)[: A.shape[0]]
     if A.spill_nnz:
         contrib = A.spill_vals * jnp.take(x, A.spill_cols)
@@ -732,6 +1019,42 @@ def _permuted_spmv_dispatch(A, x):
     return jnp.take(y, A.gather_out, axis=0)
 
 
+def promotion_plan(diag, counts, n, nnz, min_density: float = 0.25,
+                   max_diags: int = 96, promote_min=None):
+    """THE hybrid promotion math, shared by :func:`to_hybrid` (which packs
+    by it) and frontend/mna.py ``_hybrid_score`` (which predicts fast-path
+    viability from it at ordering-selection time — ADVICE r4 #2: the two
+    copies had drifted). Inputs are the distinct row-offsets and their
+    entry counts; returns ``(dense_offsets, rest_nnz)`` where
+    ``dense_offsets`` includes both >= min_density stencil diagonals and
+    promoted sparse offsets, and ``rest_nnz`` is what remains for the
+    scatter path. See :func:`to_hybrid` for the promotion economics."""
+    dense = diag[counts >= min_density * n]
+    if dense.size == 0 or dense.size > max_diags:
+        # keep the max_diags densest if over the cap
+        order = np.argsort(-counts)
+        dense = diag[order[:max_diags]]
+        dense = dense[counts[order[:max_diags]] >= min_density * n]
+        if dense.size == 0:
+            return dense, int(nnz)
+    if promote_min is None:
+        promote_min = max(64, n // 2048)
+    room = max_diags - dense.size
+    if room > 0 and np.isfinite(promote_min):
+        cand = (counts >= promote_min) & ~np.isin(diag, dense)
+        if np.any(cand):
+            ci = np.nonzero(cand)[0]
+            ci = ci[np.argsort(-counts[ci])][:room]
+            rest_after = nnz - counts[np.isin(diag, dense)].sum() \
+                - counts[ci].sum()
+            if rest_after > _COO_REST_MAX:
+                ci = ci[counts[ci] >= max(promote_min, n // 20)]
+            if ci.size:
+                dense = np.concatenate([dense, diag[ci]])
+    rest = int(nnz - counts[np.isin(diag, dense)].sum())
+    return dense, rest
+
+
 def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
               max_diags: int = 96, min_coverage: float = 0.5,
               tiles_per_step: int = 16, promote_min=None):
@@ -762,39 +1085,22 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     rows = np.repeat(np.arange(n), lengths).astype(np.int64)
     offs = A.indices.astype(np.int64) - rows
     diag, counts = np.unique(offs, return_counts=True)
-    dense = diag[counts >= min_density * n]
-    if dense.size == 0 or dense.size > max_diags:
-        # keep the max_diags densest if over the cap
-        order = np.argsort(-counts)
-        dense = diag[order[:max_diags]]
-        dense = dense[counts[order[:max_diags]] >= min_density * n]
-        if dense.size == 0:
-            return None
-    if promote_min is None:
-        promote_min = max(64, n // 2048)
-    room = max_diags - dense.size
-    if room > 0 and np.isfinite(promote_min):
-        cand = (counts >= promote_min) & ~np.isin(diag, dense)
-        if np.any(cand):
-            ci = np.nonzero(cand)[0]
-            ci = ci[np.argsort(-counts[ci])][:room]
-            # Promotion economics (measured v5e): a promoted diagonal
-            # costs one n-length padded lane read per SpMV plus n*4B of
-            # HBM, and saves its cnt entries at the COO remainder's
-            # ~16 ns/nnz — a trade that only exists when the remainder
-            # actually lands on COO. If the remainder stays above the COO
-            # bound even with every candidate promoted, sub-percent-dense
-            # promotions are pure bandwidth/memory waste (measured at
-            # 524K discovery-order: 92 promoted 0.15%-dense diagonals =
-            # 194 MB of padding with the gather path still required), so
-            # restrict promotion to >=5%-dense diagonals there.
-            rest_after = A.nnz - counts[np.isin(diag, dense)].sum() \
-                - counts[ci].sum()
-            if rest_after > _COO_REST_MAX:
-                ci = ci[counts[ci] >= max(promote_min, n // 20)]
-            if ci.size:
-                dense = np.concatenate([dense, diag[ci]])
-    cov = counts[np.isin(diag, dense)].sum() / A.nnz
+    # Promotion economics (measured v5e): a promoted diagonal costs one
+    # n-length padded lane read per SpMV plus n*4B of HBM, and saves its
+    # cnt entries at the COO remainder's ~16 ns/nnz — a trade that only
+    # exists when the remainder actually lands on COO. If the remainder
+    # stays above the COO bound even with every candidate promoted,
+    # sub-percent-dense promotions are pure bandwidth/memory waste
+    # (measured at 524K discovery-order: 92 promoted 0.15%-dense diagonals
+    # = 194 MB of padding with the gather path still required), so
+    # promotion_plan restricts those to >=5%-dense diagonals.
+    dense, rest = promotion_plan(diag, counts, n, A.nnz,
+                                 min_density=min_density,
+                                 max_diags=max_diags,
+                                 promote_min=promote_min)
+    if dense.size == 0:
+        return None
+    cov = (A.nnz - rest) / A.nnz
     if cov < min_coverage:
         return None
     N = round_up(n, tiles_per_step * _LANES)
