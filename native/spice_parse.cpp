@@ -1,11 +1,14 @@
 // Native SPICE-subset parser + MNA stamper (the data-loader fast path).
 //
-// Covers the flat common case of the reference parser (src/parser.cpp:
-// two-pass parse + stampG/stampC/stampB at :1904/:2100/:2269): elements
-// R/C/L/V/I with DC / PWL(...) / PULSE(...) sources, directives .tran
-// .print .include .end .op, '*'/'$' comments, '+' continuations,
-// StrToNum engineering suffixes (parser.cpp:30-66). Hierarchical netlists
-// (.SUBCKT / X instances) return NULL so the Python parser handles them.
+// Covers the reference parser (src/parser.cpp: two-pass parse +
+// stampG/stampC/stampB at :1904/:2100/:2269, .SUBCKT handling at
+// :273,569-602): elements R/C/L/V/I with DC / PWL(...) / PULSE(...)
+// sources, directives .tran .print .include .end .op, '*'/'$' comments,
+// '+' continuations, StrToNum engineering suffixes (parser.cpp:30-66),
+// and HIERARCHICAL netlists: .SUBCKT/.ends definitions flattened through
+// X instances with the Python flattener's exact node-naming semantics
+// (ports resolve through the instance connection map, inner nodes get
+// the "Xinst." prefix chain — frontend/spice.py handle_card).
 //
 // Semantics mirror gmres_tpu/frontend/{spice,mna}.py exactly — node ids
 // are assigned in first-encounter element order (n1 then n2), I-source
@@ -19,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fstream>
+#include <functional>
 #include <sstream>
 #include <string>
 #include <unordered_map>
@@ -289,9 +293,46 @@ void* gt_parse_netlist(const char* path) {
     g_parse_err = err;
     return nullptr;
   }
-  for (const auto& s : lines) {
-    char c0 = std::toupper((unsigned char)s[0]);
-    if (c0 == 'X' || starts_with_lower(s, ".subckt")) return nullptr;
+
+  // phase 1 (frontend/spice.py parse_netlist): split .SUBCKT definitions
+  // from top-level cards. A .subckt starting inside an unfinished one
+  // silently replaces it; an unfinished definition at EOF is dropped —
+  // both mirror the Python flattener exactly.
+  struct Subckt {
+    std::vector<std::string> ports;
+    std::vector<std::string> lines;
+  };
+  std::unordered_map<std::string, Subckt> subckts;
+  std::vector<std::string> top;
+  Subckt cur;
+  std::string cur_name;
+  bool in_sub = false;
+  for (auto& s : lines) {
+    if (starts_with_lower(s, ".subckt")) {
+      std::vector<std::string> t;
+      split_tokens(s, &t);
+      if (t.size() < 2) {
+        g_parse_err = "bad .subckt: " + s;
+        return nullptr;
+      }
+      cur = Subckt();
+      cur_name = t[1];
+      std::transform(cur_name.begin(), cur_name.end(), cur_name.begin(),
+                     ::tolower);
+      cur.ports.assign(t.begin() + 2, t.end());
+      in_sub = true;
+      continue;
+    }
+    if (starts_with_lower(s, ".ends")) {
+      if (!in_sub) {
+        g_parse_err = ".ends without .subckt";
+        return nullptr;
+      }
+      subckts[cur_name] = std::move(cur);
+      in_sub = false;
+      continue;
+    }
+    (in_sub ? cur.lines : top).push_back(std::move(s));
   }
 
   auto* res = new ParseResult();
@@ -311,12 +352,29 @@ void* gt_parse_netlist(const char* path) {
   };
 
   std::vector<ElemRec> elems;
-  elems.reserve(lines.size());
+  elems.reserve(top.size());
   std::vector<SrcRec> i_srcs, v_srcs;
   std::vector<std::string> print_names;
-  std::vector<std::string> toks;
 
-  for (const auto& s : lines) {
+  // phase 2: recursive flattening (frontend/spice.py handle_card). Every
+  // element's nodes resolve through the instance port map, else take the
+  // "Xinst." prefix chain; ground stays ground.
+  using PortMap = std::unordered_map<std::string, std::string>;
+  std::function<bool(const std::string&, const std::string&,
+                     const PortMap&, int)> handle =
+      [&](const std::string& s, const std::string& prefix,
+          const PortMap& portmap, int depth) -> bool {
+    if (depth > 100) {
+      g_parse_err = "subckt nesting too deep (cycle?)";
+      return false;
+    }
+    std::vector<std::string> toks;
+    auto mapnode = [&](const std::string& nm) -> std::string {
+      if (is_ground(nm)) return "0";
+      auto it = portmap.find(nm);
+      if (it != portmap.end()) return it->second;
+      return prefix.empty() ? nm : prefix + nm;
+    };
     char c0 = std::toupper((unsigned char)s[0]);
     if (c0 == '.') {
       if (starts_with_lower(s, ".tran")) {
@@ -324,8 +382,7 @@ void* gt_parse_netlist(const char* path) {
         if (toks.size() < 3 || !parse_value(toks[1].c_str(), &res->tstep) ||
             !parse_value(toks[2].c_str(), &res->tstop)) {
           g_parse_err = "bad .tran: " + s;
-          delete res;
-          return nullptr;
+          return false;
         }
       } else if (starts_with_lower(s, ".print")) {
         // v(NAME) tokens; fallback: bare tokens minus tran/dc/ac
@@ -351,33 +408,59 @@ void* gt_parse_netlist(const char* path) {
               print_names.push_back(toks[i]);
         }
       }
-      continue;  // .end/.op/unknown dot-cards ignored
+      return true;  // .end/.op/unknown dot-cards ignored
+    }
+    if (c0 == 'X') {
+      split_tokens(s, &toks);
+      if (toks.size() < 2) {
+        g_parse_err = "short X card: " + s;
+        return false;
+      }
+      std::string subname = toks.back();
+      std::transform(subname.begin(), subname.end(), subname.begin(),
+                     ::tolower);
+      auto it = subckts.find(subname);
+      if (it == subckts.end()) {
+        g_parse_err = "unknown subckt " + toks.back() + " in: " + s;
+        return false;
+      }
+      const Subckt& sub = it->second;
+      if (toks.size() - 2 != sub.ports.size()) {
+        g_parse_err = toks[0] + ": wrong connection count for subckt " +
+                      subname;
+        return false;
+      }
+      PortMap inner;
+      inner.reserve(sub.ports.size() * 2);
+      for (size_t i = 0; i < sub.ports.size(); ++i)
+        inner[sub.ports[i]] = mapnode(toks[1 + i]);
+      std::string inst_prefix = prefix + toks[0] + ".";
+      for (const auto& inner_line : sub.lines)
+        if (!handle(inner_line, inst_prefix, inner, depth + 1)) return false;
+      return true;
     }
     if (c0 == 'R' || c0 == 'C' || c0 == 'L') {
       split_tokens(s, &toks);
       if (toks.size() < 4) {
         g_parse_err = "short element card: " + s;
-        delete res;
-        return nullptr;
+        return false;
       }
       double v;
       if (!parse_value(toks[3].c_str(), &v)) {
         g_parse_err = "bad numeric token in: " + s;
-        delete res;
-        return nullptr;
+        return false;
       }
       if (c0 == 'R' && v == 0.0) {
         g_parse_err = toks[0] + ": zero resistance";
-        delete res;
-        return nullptr;
+        return false;
       }
-      elems.push_back({c0, node(toks[1]), node(toks[2]), v, -1});
+      elems.push_back({c0, node(mapnode(toks[1])), node(mapnode(toks[2])),
+                       v, -1});
     } else if (c0 == 'V' || c0 == 'I') {
       split_tokens(s, &toks);
       if (toks.size() < 3) {
         g_parse_err = "short source card: " + s;
-        delete res;
-        return nullptr;
+        return false;
       }
       // waveform tail = tokens[3:]
       std::string tail;
@@ -394,8 +477,7 @@ void* gt_parse_netlist(const char* path) {
         extract_numbers(tail, p + 3, &nums);
         if (nums.size() % 2 != 0) {
           g_parse_err = "odd PWL pair count in: " + s;
-          delete res;
-          return nullptr;
+          return false;
         }
         size_t np = nums.size() / 2;
         std::vector<size_t> order(np);
@@ -427,8 +509,7 @@ void* gt_parse_netlist(const char* path) {
             break;
           }
           g_parse_err = "bad numeric token in: " + s;
-          delete res;
-          return nullptr;
+          return false;
         }
       }
       int32_t idx;
@@ -439,9 +520,18 @@ void* gt_parse_netlist(const char* path) {
         idx = (int32_t)v_srcs.size();
         v_srcs.push_back(std::move(sr));
       }
-      elems.push_back({c0, node(toks[1]), node(toks[2]), 0.0, idx});
+      elems.push_back({c0, node(mapnode(toks[1])), node(mapnode(toks[2])),
+                       0.0, idx});
     }
     // other element kinds ignored (matches the Python parser)
+    return true;
+  };
+
+  for (const auto& s : top) {
+    if (!handle(s, std::string(), PortMap(), 0)) {
+      delete res;
+      return nullptr;
+    }
   }
 
   int64_t nn = (int64_t)node_index.size();
