@@ -193,25 +193,21 @@ def main(argv=None) -> int:
                           f"(visible devices)")
                 mesh = make_mesh(n_rows=nparts)
                 dprec = args.precond
-                if dprec in ("auto", "saddle", "ilutp", "ilupp"):
-                    # distributed forms exist for jacobi/ainv/block-ILU;
-                    # block-ILU is the robust default on MNA systems. The
-                    # single-chip production preconditioners (saddle/ILUTP)
-                    # have no shard-aligned form yet — say so LOUDLY, the
-                    # sharded run uses a weaker M than single-chip
-                    # (VERDICT r3 #6).
+                if dprec in ("ilutp", "ilupp"):
+                    # the multilevel-pivoting class alone has no
+                    # shard-aligned form (its level-scheduled trisolve is
+                    # serial across shards); say so LOUDLY and use
+                    # block-ILU. auto/saddle run the full shard-aligned
+                    # constraint-Schur preconditioner (DistSaddlePrecond).
                     print(f"* -np {nparts}: preconditioner "
                           f"{args.precond!r} has no shard-aligned form; "
                           f"DOWNGRADING to block-'iluk' (expect more "
                           f"iterations/step than single-chip)")
                     dprec = "iluk"
-                # IR is not yet lifted to the sharded engine; -single with
-                # refine-auto runs full f64 there instead (honest tol)
-                ddtype = jnp.float64 if args.refine else dtype
                 res = dist_transient_gmres(
-                    mna, mesh, precond=dprec, dtype=ddtype, tol=args.tol,
+                    mna, mesh, precond=dprec, dtype=dtype, tol=args.tol,
                     restart=args.restart, dc_method=args.dcmethod,
-                    chunk_steps=args.chunk,
+                    chunk_steps=args.chunk, refine=args.refine,
                 )
                 it = res.iterations
                 print(f"* distributed gmres transient ({nparts} shards, "

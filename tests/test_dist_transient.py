@@ -58,14 +58,31 @@ def test_cli_np_routes_distributed(tmp_path, capsys):
     net = tmp_path / "fix.sp"
     write_pg_netlist(net, nx=12, layers=2, pad_pitch=6,
                      tstep=1e-10, tstop=4e-10)
-    rc = pg_main([str(net), "-gmres", "-np", "4", "-tol", "1e-6"])
+    rc = pg_main([str(net), "-gmres", "-np", "4", "-tol", "1e-6",
+                  "-no-refine"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "distributed gmres transient (4 shards" in out
     assert "converged=True" in out
-    # the auto->iluk preconditioner downgrade must be LOUD (VERDICT r3 #6)
-    assert "DOWNGRADING to block-'iluk'" in out
+    # auto now runs the FULL shard-aligned saddle — no downgrade
+    # (VERDICT r4 #4); only the pivoting class still downgrades loudly
+    assert "DOWNGRADING" not in out
     assert "setup/run split" in out
+
+
+def test_cli_np_ilutp_downgrade_is_loud(tmp_path, capsys):
+    """Only -precond ilutp (no shard-aligned form: serial level-scheduled
+    trisolves) still downgrades, and says so."""
+    from gmres_tpu.cli.pg import main as pg_main
+
+    net = tmp_path / "fix.sp"
+    write_pg_netlist(net, nx=12, layers=2, pad_pitch=6,
+                     tstep=1e-10, tstop=4e-10)
+    rc = pg_main([str(net), "-gmres", "-np", "4", "-tol", "1e-6",
+                  "-no-refine", "-precond", "ilutp"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "DOWNGRADING to block-'iluk'" in out
 
 
 def test_dist_transient_chunked_matches_unchunked(pg_fixture):
@@ -100,3 +117,39 @@ def test_dist_transient_device_dc_seed(pg_fixture):
     np.testing.assert_allclose(r_it.port_values, r_lu.port_values,
                                rtol=1e-6, atol=1e-10)
     assert r_it.converged
+
+
+def test_dist_transient_saddle_full_strength(pg_fixture):
+    """The shard-aligned saddle (DistSaddlePrecond, VERDICT r4 #4): the
+    distributed engine runs the PRODUCTION preconditioner — constraint-
+    Schur elimination with block-local AINV Mg and replicated S_inv — and
+    converges with an iteration count within 1.5x of the single-chip
+    saddle engine on the same fixture."""
+    from gmres_tpu.models.transient import transient_gmres
+
+    mna = pg_fixture
+    ref = transient_direct(mna)
+    mesh = make_mesh(n_rows=8, n_batch=1)
+    res = dist_transient_gmres(mna, mesh, precond="saddle",
+                               dtype=jnp.float64, tol=1e-9)
+    assert res.converged, (res.iterations, res.residuals)
+    np.testing.assert_allclose(res.port_values, ref.port_values,
+                               rtol=1e-5, atol=1e-10)
+    single = transient_gmres(mna, precond="saddle", dtype=jnp.float64,
+                             tol=1e-9, transform="none")
+    it_d = float(np.asarray(res.iterations).mean())
+    it_s = float(np.asarray(single.stats["iterations"]).mean())
+    assert it_d <= 1.5 * it_s + 2.0, (it_d, it_s)
+
+
+def test_dist_transient_refine_ir(pg_fixture):
+    """GMRES-IR on the mesh (refine=True): f32 Arnoldi + sharded f64
+    state/true-residuals reaches tolerances a plain f32 run cannot."""
+    mna = pg_fixture
+    ref = transient_direct(mna)
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    res = dist_transient_gmres(mna, mesh, precond="saddle",
+                               dtype=jnp.float32, tol=1e-9, refine=True)
+    assert res.converged, (res.iterations, res.residuals)
+    scale = np.abs(ref.port_values).max()
+    assert np.abs(res.port_values - ref.port_values).max() / scale < 1e-6
