@@ -57,6 +57,8 @@ _LANES = 128
 # v5e, so up to this many scattered entries COO beats every windowed
 # layout (near-empty chunks) while staying ~1 ms.
 _COO_REST_MAX = 65536
+_COO_PLANES_MIN = 512     # hybrid remainders above this go to the scatter
+                          # planes instead of XLA COO scatter-add
 _SLOTS = 8
 
 
@@ -366,16 +368,19 @@ def well_spmv_reference(A: WellMatrix, x: jax.Array) -> jax.Array:
 # Entries outside the slab (long-range vias that defeat RCM) spill to a
 # COO side list applied by XLA scatter-add -- rare by construction.
 
-_GROUP = 16               # chunks per grid group (static unroll length)
+_GROUP = 96               # chunks per grid group (static unroll length)
 _SLAB_CAP = 512           # max slab windows (512*128*4B = 256 KB VMEM)
-_PLANE_MIN = 32           # (tile,window) groups below this entry count go
+_PLANE_MIN = 8            # (tile,window) groups below this entry count go
                           # to the scatter-planes section: on the RCM-banded
                           # 100K PG bench matrix, groups with <32 entries are
                           # 78% of all groups and >half of all slot-rows but
                           # only 10.5% of the nnz (measured r5) — packing
                           # them as 128-lane slot-rows is what held the v2
                           # kernel at 7.8% slot utilization
-_PLANES_PER_BATCH = 8     # planes statically unrolled per grid step
+_PLANES_PER_BATCH = 16    # planes statically unrolled per grid step (the
+                          # ~150 ns fixed cost per grid step amortizes
+                          # over more planes; measured r5: PB 8 -> 16 cut
+                          # the 100K RCM bench 53.7 -> 45.0 us)
 _PLANE_SW = 32            # window span per plane: each plane's entries live
                           # in a 32-window (4096-col) bucket, so the kernel
                           # sweeps a (32, 128) slice instead of the whole
@@ -391,7 +396,8 @@ _PLANE_SW = 32            # window span per plane: each plane's entries live
                  "base", "pvals", "plcol", "pwin", "ptrow", "pout", "pfirst",
                  "pwork", "pwbase", "spill_rows", "spill_cols", "spill_vals"],
     meta_fields=["shape", "logical_n", "tiles_per_step", "group",
-                 "slab", "steps", "planes_per_batch", "sw"],
+                 "slab", "steps", "planes_per_batch", "sw", "dense_nnz",
+                 "plane_nnz"],
 )
 @dataclasses.dataclass(frozen=True)
 class WellSlabMatrix:
@@ -449,6 +455,8 @@ class WellSlabMatrix:
     steps: int
     planes_per_batch: int
     sw: int
+    dense_nnz: int
+    plane_nnz: int
 
     @property
     def ngroups(self) -> int:
@@ -475,14 +483,16 @@ class WellSlabMatrix:
         return int(self.spill_vals.shape[0])
 
 
-def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
+def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 64,
                  slab_cap: int = _SLAB_CAP, max_spill_frac: float = 0.05,
                  group: int = _GROUP, plane_min: int = _PLANE_MIN,
                  planes_per_batch: int = _PLANES_PER_BATCH):
     """Pack host CSR into the v3 slab layout (dense slot-rows + scatter
-    planes), or None when the matrix doesn't fit (more than
-    ``max_spill_frac`` of the nnz falls outside a ``slab_cap``-wide window
-    per step) -- callers fall back to :func:`to_well`."""
+    planes), or None only when the scatter planes would degenerate (heavy
+    per-lane collisions, see the sanity guard) -- callers fall back to
+    :func:`to_well`. ``max_spill_frac`` is kept for API compatibility and
+    unused: planes carry their own per-plane window base, so entries
+    outside the dense slab simply become planes (no COO spill)."""
     import scipy.sparse as sp
 
     n, ncols = A.shape
@@ -507,32 +517,32 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
     wind = cols // _LANES
     lcol = (cols % _LANES).astype(np.int32)
 
-    # per-step slab base/span over ALL entries (dense + scattered share it)
+    # occupancy split first: (tile, window) groups below plane_min entries
+    # go to the scatter planes, the rest to 128-lane slot-rows
+    key = tile * np.int64(nwin) + wind
+    _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    dense0 = cnt[inv] >= plane_min
+
+    # per-step slab base/span over the DENSE entries only (planes carry
+    # their own window bases, so they never constrain the slab); dense
+    # groups outside a slab_cap-wide envelope route to planes too
     BIG = np.iinfo(np.int64).max
     sbase = np.full(steps, BIG)
-    np.minimum.at(sbase, stp, wind)
     whi = np.full(steps, -1)
-    np.maximum.at(whi, stp, wind)
+    if dense0.any():
+        np.minimum.at(sbase, stp[dense0], wind[dense0])
+        np.maximum.at(whi, stp[dense0], wind[dense0])
     sbase = np.where(sbase == BIG, 0, sbase)
     span = np.maximum(whi - sbase + 1, 1)
-    slab = min(int(-(-int(span.max()) // 8) * 8), slab_cap, nwin)
-    if slab <= 0:
-        return None
+    slab = max(min(int(-(-int(span.max()) // 8) * 8), slab_cap, nwin), 1)
     sbase = np.clip(sbase, 0, nwin - slab).astype(np.int64)
     rel = wind - sbase[stp]
     in_slab = (rel >= 0) & (rel < slab)
-    if (~in_slab).sum() > max_spill_frac * max(nnz, 1):
-        return None
-    sp_rows = rows[~in_slab].astype(np.int32)
-    sp_cols = cols[~in_slab].astype(np.int32)
-    sp_vals = A.data[~in_slab].astype(np.float64)
-
-    # occupancy split: (tile, window) groups below plane_min entries go to
-    # the scatter planes, the rest to 128-lane slot-rows
-    key = tile * np.int64(nwin) + wind
-    _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
-    dense_e = in_slab & (cnt[inv] >= plane_min)
-    plane_e = in_slab & ~dense_e
+    dense_e = dense0 & in_slab
+    plane_e = ~dense_e
+    sp_rows = np.zeros(0, np.int32)
+    sp_cols = np.zeros(0, np.int32)
+    sp_vals = np.zeros(0, np.float64)
 
     # ---- dense section: pack via to_well, regroup into G-chunk groups ----
     Sd = sp.coo_matrix((A.data[dense_e], (rows[dense_e], cols[dense_e])),
@@ -588,7 +598,10 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
         gout = gfirst = gwork = gbase = np.zeros(0, dtype=np.int32)
 
     # ---- scatter-planes section ----
-    SW = min(_PLANE_SW, max(slab, 8), nwin)
+    # SW is independent of the dense slab: each plane slices x at its own
+    # scalar-prefetched window base, so plane buckets cover the whole
+    # column space even when the dense envelope is narrow
+    SW = min(_PLANE_SW, nwin)
     pm = plane_e
     has_planes = bool(pm.any())
     if has_planes:
@@ -625,6 +638,11 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
                               nwin - SW)
         nplanes_step = np.zeros(steps, dtype=np.int64)
         np.add.at(nplanes_step, plane_stp, 1)
+        # sanity guard: pathological per-lane collisions (many entries on
+        # one output lane of one bucket) make planes degenerate to ~1
+        # entry per 128-lane plane; bail to the v1 fallback instead
+        if int(nplanes_step.sum()) > max(1024, int(pm.sum()) // 8):
+            return None
         bps = (-(-np.maximum(nplanes_step, 1) // PB)).astype(np.int64)
         nbatch = int(bps.sum())
         batch_base = np.cumsum(bps) - bps         # first batch of each step
@@ -686,6 +704,8 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 16,
         steps=steps,
         planes_per_batch=PB,
         sw=SW,
+        dense_nnz=int(dense_e.sum()),
+        plane_nnz=int(plane_e.sum()),
     )
 
 
@@ -739,13 +759,17 @@ def _well_slab_kernel(G, tps, slab, gout_ref, gfirst_ref, gwork_ref,
         xslab = x_ref[pl.ds(base_ref[i], slab), :]          # (slab, 128)
         W = _select_windows(widx_ref[0], xslab, (G * _SLOTS, slab),
                             out_ref.dtype)                  # (G*8, 128)
+        # Per chunk: lane gather + FMA reduce + one-hot row merge into
+        # the register accumulator (no dynamic-sublane reads or writes in
+        # the loop). Padding chunks carry vals == 0 and merge exact zeros
+        # -- cheaper than a branch in Mosaic. (An octet-bank variant that
+        # flushed an (8,128) accumulator with one dynamic-slice RMW per
+        # octet measured 5x SLOWER on v5e: per-chunk pl.when predication
+        # defeats Mosaic's pipelining — keep the branch-free merge even
+        # though it costs 2*tps/8 vector ops per chunk.)
         tile_iota = lax.broadcasted_iota(jnp.int32, (tps, 1), 0)
         acc = jnp.zeros((tps, _LANES), out_ref.dtype)
         for j in range(G):                                  # static unroll
-            # per chunk: lane gather + FMA reduce + one-hot row merge into
-            # the register accumulator (no dynamic-sublane reads or writes
-            # in the loop). Padding chunks carry vals == 0 and merge exact
-            # zeros -- cheaper than a branch in Mosaic.
             win8 = W[j * _SLOTS:(j + 1) * _SLOTS, :]
             g = _lane_gather(win8, cols_ref[0, j].astype(jnp.int32))
             contrib = jnp.sum(vals_ref[0, j] * g, axis=0, keepdims=True)
@@ -1057,7 +1081,7 @@ def promotion_plan(diag, counts, n, nnz, min_density: float = 0.25,
 
 def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
               max_diags: int = 96, min_coverage: float = 0.5,
-              tiles_per_step: int = 16, promote_min=None):
+              tiles_per_step: int = 64, promote_min=None):
     """Split CSR into dense diagonals (DIA) + remainder, or None when the
     dense diagonals cover less than ``min_coverage`` of the nnz.
 
@@ -1127,7 +1151,11 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     # never touches the dense-diagonal part or the caller's vector basis,
     # it just bands the slab's windows; two O(n) gathers per apply.
     rest = None
-    if rest_csr.nnz <= _COO_REST_MAX:
+    if rest_csr.nnz <= _COO_PLANES_MIN:
+        # only TINY remainders stay on the XLA scatter-add COO path: its
+        # ~16 ns/nnz made a 4K-entry remainder cost 67 us/apply (r5
+        # profile) — 13x the whole DIA part — while the scatter-planes
+        # section handles the same entries in a few us
         rest = rest_csr.to_device_coo(dtype=dtype)
     else:
         rest = to_well_slab(rest_csr, dtype=dtype,

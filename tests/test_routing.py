@@ -122,9 +122,12 @@ def test_opaque_names_route_fast_path(tmp_path):
     assert geometric_node_order(mna.node_index, mna.num_nodes) is None
     dev = device_matrix(mna.G, backend="tpu")
     assert isinstance(dev, FAST), type(dev).__name__
-    # the hybrid's remainder must be the COO scatter path (>=1x-bar class),
-    # not the gather/slab fallback
+    # the hybrid's remainder must be a fast scattered-entry class: the
+    # scatter-planes slab (r5: ~few us for tens of K scattered entries) or
+    # COO for tiny tails — never the v1 gather fallback
     if isinstance(dev, HybridMatrix):
         from gmres_tpu.ops.formats import DeviceCOO
+        from gmres_tpu.ops.well import WellSlabMatrix
 
-        assert isinstance(dev.rest, DeviceCOO), type(dev.rest).__name__
+        assert isinstance(dev.rest, (DeviceCOO, WellSlabMatrix)), \
+            type(dev.rest).__name__

@@ -150,8 +150,9 @@ def test_well_slab_matches_oracle():
 
 
 def test_well_slab_spill_path():
-    """Long-range vias that defeat the slab window go through the COO
-    spill tail; results stay exact."""
+    """Long-range vias that defeat the dense slab window route to the
+    scatter planes (each plane carries its own window base — no COO
+    spill); results stay exact."""
     from gmres_tpu.ops.well import (to_well_slab, well_slab_spmv,
                                     well_slab_spmv_reference)
 
@@ -161,7 +162,7 @@ def test_well_slab_spill_path():
     A = _banded_pg(extra=extra)
     W = to_well_slab(CSRMatrix.from_scipy(A), dtype=jnp.float64, slab_cap=16)
     assert W is not None
-    assert W.spill_nnz > 0
+    assert W.spill_nnz == 0 and W.has_planes
     x = rng.standard_normal(W.shape[1])
     y_ref = A.astype(np.float64) @ x[: A.shape[0]]
     y1 = np.asarray(well_slab_spmv_reference(W, jnp.asarray(x)))
@@ -186,14 +187,39 @@ def test_well_slab_unbanded_small():
     assert np.abs(y[:3000] - y_ref).max() < 1e-10
 
 
-def test_well_slab_bails_on_wide_spill():
-    """A matrix whose footprint exceeds the slab cap with heavy long-range
-    coupling must fall back to v1 (None)."""
-    from gmres_tpu.ops.well import to_well_slab
+def test_well_slab_wide_footprint_handled():
+    """A matrix whose footprint exceeds the dense slab cap no longer
+    bails: out-of-slab entries route to scatter planes (each plane has its
+    own window base) and the result stays exact."""
+    from gmres_tpu.ops.well import (to_well_slab, well_slab_spmv,
+                                    well_slab_spmv_reference)
 
     A = random_sparse(3000, 0.003, seed=0)
-    W = to_well_slab(CSRMatrix.from_scipy(A.to_scipy()), slab_cap=8,
-                     max_spill_frac=0.01)
+    W = to_well_slab(CSRMatrix.from_scipy(A.to_scipy()),
+                     dtype=jnp.float64, slab_cap=8)
+    assert W is not None and W.spill_nnz == 0
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(W.shape[1])
+    y_ref = A.to_scipy().astype(np.float64) @ x[: A.shape[0]]
+    y1 = np.asarray(well_slab_spmv_reference(W, jnp.asarray(x)))
+    assert np.abs(y1[: A.shape[0]] - y_ref).max() < 1e-10
+    y2 = np.asarray(well_slab_spmv(W, jnp.asarray(x), interpret=True))
+    assert np.abs(y2[: A.shape[0]] - y_ref).max() < 1e-10
+
+
+def test_well_slab_bails_on_lane_collisions():
+    """Pathological per-lane collisions (a dense COLUMN: every row hits
+    the same (bucket, output-lane) cells) degenerate the planes to ~one
+    entry each; the packer must bail to the v1 fallback (None)."""
+    import scipy.sparse as sp
+
+    from gmres_tpu.ops.well import to_well_slab
+
+    n = 4096
+    cols = np.arange(0, n, 2)  # one dense ROW: every entry on output lane 0
+    A = sp.coo_matrix((np.ones(cols.size), (np.zeros(cols.size), cols)),
+                      shape=(n, n)).tocsr()
+    W = to_well_slab(CSRMatrix.from_scipy(A.tocsr()), plane_min=10 ** 9)
     assert W is None
 
 
@@ -241,11 +267,12 @@ def test_hybrid_rejects_scattered():
 
 
 def test_hybrid_permuted_rest_exact():
-    """A hybrid remainder too wide for the slab envelope (discovery-order
-    node numbering scattering one layer over 100K+ offsets — the 2.1M
-    netlist shape) takes a PRIVATE RCM ordering inside the rest operator
-    (PermutedMatrix); the caller's vector basis is untouched and the
-    product stays exact."""
+    """A hybrid remainder too wide for the dense slab envelope
+    (discovery-order node numbering scattering one layer over 100K+
+    offsets — the 2.1M netlist shape) now packs DIRECTLY: the scattered
+    entries become scatter planes, each carrying its own window base
+    (r5; previously this forced a PermutedMatrix with two O(n) gathers
+    per apply). The product stays exact."""
     import scipy.sparse as sp
 
     import jax.numpy as jnp
@@ -266,7 +293,11 @@ def test_hybrid_permuted_rest_exact():
     S = (main + Sc + Sc.T).tocsr()
     H = to_hybrid(CSRMatrix.from_scipy(S), dtype=jnp.float64,
                   promote_min=float("inf"))
-    assert isinstance(H.rest, PermutedMatrix)
+    from gmres_tpu.ops.well import WellSlabMatrix
+
+    assert isinstance(H.rest, (WellSlabMatrix, PermutedMatrix))
+    if isinstance(H.rest, WellSlabMatrix):
+        assert H.rest.plane_nnz > 0
     x = rng.standard_normal(H.shape[1])
     y = np.asarray(spmv(H, jnp.asarray(x)))[:n]
     yref = S @ x[:n]
