@@ -102,8 +102,13 @@ def main(argv=None) -> int:
         timers.report()
         return 0
 
+    nsteps = 1 if args.oneshot else (args.steps or sys_.num_steps)
     with timers.phase("precond_setup"):
-        M = make_preconditioner(args.precond, sys_.A, dtype=dtype, fmt="auto")
+        # steps feeds the auto policy's amortized cost model (setup +
+        # steps * iters * apply): warm-started transient steps favor AINV,
+        # deep one-shot solves at scale favor MG (resolve_precond)
+        M = make_preconditioner(args.precond, sys_.A, dtype=dtype,
+                                fmt="auto", steps=nsteps)
 
     if args.oneshot:
         b = sys_.B.matvec(sys_.U[:, 0])

