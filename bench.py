@@ -36,6 +36,17 @@ import traceback
 import numpy as np
 
 BASELINE_NNZ_PER_S = 5e9
+# v5e HBM bandwidth (819 GB/s): roofline fractions below report
+# achieved-bytes / peak-bytes where achieved-bytes is the MINIMAL data an
+# ideal scattered format would move (4 B value + 1 B packed index per nnz
+# + the x read and y write) — i.e. fraction of speed-of-light for the
+# memory-bound SpMV, comparable to the reference CSR kernel's ~25% of its
+# C2070's 144 GB/s (SpMV_kernel.cu:166-251; VERDICT r4 next #1).
+HBM_BYTES_PER_S = 819e9
+
+
+def roofline_frac(nnz: int, n: int, dt: float) -> float:
+    return (nnz * 5.0 + 8.0 * n) / dt / HBM_BYTES_PER_S
 
 
 def _wait_for_backend(attempts: int = 5, base_delay: float = 8.0):
@@ -258,12 +269,20 @@ def main():
         assert rel < 1e-5, f"DIA SpMV verify failed: rel={rel}"
         dt = bench_chain(jax, MatOp(A), x)
         dia_nnz_per_s = nnz / dt
+        # DIA moves ndiag full diagonals + x + y; report both the format's
+        # actual traffic fraction and the ideal-format (speed-of-light)
+        # fraction
+        dia_bytes = (len(A.offsets) * n_pad + 2 * n_pad) * 4.0
+        extra0 = {
+            "dia_roofline_frac_actual": dia_bytes / dt / HBM_BYTES_PER_S,
+            "dia_roofline_frac_ideal": roofline_frac(nnz, nx ** 3, dt),
+        }
 
         # ---- general-sparsity paths (every real PG netlist) ----
         # two arms: (a) the production router on the natural-ordered PG
         # matrix (hybrid DIA + scattered remainder), (b) the raw slab-WELL
         # kernel on the RCM-banded ordering (no dense diagonals to lean on)
-        extra = {}
+        extra = dict(extra0)
 
         def measure(Ac, dev):
             from gmres_tpu.ops.operator import MatOp
@@ -293,6 +312,8 @@ def main():
                 "pg_vs_baseline": An.nnz / dtn / BASELINE_NNZ_PER_S,
                 "pg_variant": type(Hn).__name__,
                 "pg_n": int(An.shape[0]), "pg_nnz": int(An.nnz),
+                "pg_roofline_frac_ideal": roofline_frac(
+                    int(An.nnz), int(An.shape[0]), dtn),
             })
         except Exception as e:  # noqa: BLE001 — flagship number still reports
             extra["pg_error"] = f"{type(e).__name__}: {e}"
@@ -306,6 +327,8 @@ def main():
                 "well_nnz_per_s": Ab.nnz / dtw,
                 "well_vs_baseline": Ab.nnz / dtw / BASELINE_NNZ_PER_S,
                 "well_variant": type(W).__name__,
+                "well_roofline_frac_ideal": roofline_frac(
+                    int(Ab.nnz), int(Ab.shape[0]), dtw),
             })
         except Exception as e:  # noqa: BLE001
             extra["well_error"] = f"{type(e).__name__}: {e}"
