@@ -373,6 +373,14 @@ def mixed_transient(
 
     lu_dev = None
     routed = {}
+    if device and Afull.shape[0] > 200_000:
+        # at contest scale the seq-steps probe below would have to FACTOR
+        # the 2.1M system (minutes of SuperLU fill) just to learn what is
+        # already certain — full factors this large always exceed the
+        # sequential-step bound. Route straight to the host decision loop.
+        device = False
+        routed = {"device_lu_routed": "host",
+                  "device_lu_reason": f"n={Afull.shape[0]} > 200000"}
     if device:
         # crossover rule (VERDICT r2 weak #4): SuperLU FULL factors at
         # >=100K nodes carry thousands of dependency levels — the device
@@ -397,7 +405,42 @@ def mixed_transient(
                    "allow_cur_resid": float(allow_final)},
         )
 
-    lu_full = SparseLU(Afull)
+    # Full re-solves: sparse LU below 200K rows (the reference's CSparse
+    # re-solve, transim2.cpp:440-610); at contest scale the LU fill alone
+    # costs ~11 minutes (669 s measured at 2.1M, MEASUREMENTS r3) for a
+    # solver used a handful of times — use the production device GMRES
+    # (saddle-preconditioned, tol 1e-7) instead, warm-started from the
+    # reduced solution. TPU-native -ec: no giant host factorization.
+    if Afull.shape[0] > 200_000:
+        from gmres_tpu.ops.spmv import device_operator
+        from gmres_tpu.precond import make_preconditioner
+        from gmres_tpu.solvers.gmres import gmres as _gmres
+
+        M_full = make_preconditioner("auto", Afull, dtype=jnp.float32,
+                                     fmt="auto")
+        Aop_full = device_operator(Afull, dtype=jnp.float32)
+        A_hi_full = (device_operator(Afull, dtype=jnp.float64)
+                     if jax.config.jax_enable_x64 else None)
+
+        def _resolve_full(w_full, x_guess):
+            res = _gmres(Aop_full,
+                         jnp.asarray(w_full, jnp.float64 if A_hi_full
+                                     is not None else jnp.float32),
+                         x0=jnp.asarray(x_guess, jnp.float64 if A_hi_full
+                                        is not None else jnp.float32),
+                         restart=32, tol=1e-7, maxiter=2000, M_left=M_full,
+                         A_hi=A_hi_full,
+                         work_dtype=jnp.float32 if A_hi_full is not None
+                         else None)
+            return np.asarray(res.x, np.float64)
+
+        routed["resolver"] = "gmres"
+    else:
+        lu_full = SparseLU(Afull)
+
+        def _resolve_full(w_full, x_guess):
+            return lu_full.solve(w_full)
+
     import scipy.linalg as sla
 
     lupiv = sla.lu_factor(Ar)
@@ -420,7 +463,7 @@ def mixed_transient(
         resid = w_full - As @ x1
         max_resid = np.abs(resid).max()
         if max_resid > allow_cur_resid:
-            x_exact = lu_full.solve(w_full)
+            x_exact = _resolve_full(w_full, x1)
             n_resolves += 1
             v_err = np.abs(x1[: mna.num_nodes] - x_exact[: mna.num_nodes]).max()
             if max_resid > 0 and v_err > 0:

@@ -327,6 +327,8 @@ def transient_gmres(
             x_cur = cap["x"]
             dc_iters += int(np.asarray(res_dc.iterations).sum())
             r_last = float(np.asarray(res_dc.residuals)[-1])
+            print(f"*   dc (in-scan) round {_round + 1}: {dc_iters} iters, "
+                  f"rel res {r_last:.3e}", flush=True)
             if bool(np.asarray(res_dc.converged)[-1]):
                 break
             if r_last > 0.999 * prev_r:

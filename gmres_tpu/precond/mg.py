@@ -392,19 +392,33 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 2048,
     # 2.1M (r5 profile; VERDICT r4 weak #5) — a few extra low-fill
     # diagonals on a coarse level cost microseconds per apply, the
     # analysis cost seconds per build.
-    def _level_op(Sl):
+    def _level_op(l, Sl):
+        from gmres_tpu.ops.operator import as_operator
+
         Ac = CSRMatrix.from_scipy(Sl)
         rows = np.repeat(np.arange(Sl.shape[0]), np.diff(Ac.indptr))
         ndiag = np.unique(Ac.indices.astype(np.int64) - rows).size
         if ndiag <= 128:
-            from gmres_tpu.ops.operator import as_operator
-
             return as_operator(Ac.to_dia(dtype=dtype, pad_to=1024,
                                          max_diags=128),
                                logical_shape=Ac.shape)
+        if l == 0:
+            # the fine level carries most of the cycle's work: full router
+            return device_operator(Ac, dtype=dtype)
+        # coarse SA levels of rough-coefficient operators (PG planes with
+        # aggregated vias) defeat both the <=128-diagonal test and the
+        # hybrid's dense-diagonal analysis; each runs only 2-4 SpMVs per
+        # cycle, so skip the per-level hybrid ordering analysis (measured
+        # 33 s of the 50 s saddle-MG build at 2.1M, r5) and pack the slab
+        # directly.
+        from gmres_tpu.ops.well import to_well_slab
+
+        W = to_well_slab(Ac, dtype=dtype)
+        if W is not None:
+            return as_operator(W, logical_shape=Ac.shape)
         return device_operator(Ac, dtype=dtype)
 
-    ops = tuple(_level_op(Sl) for Sl in host_S)
+    ops = tuple(_level_op(l, Sl) for l, Sl in enumerate(host_S))
     inv_diags = tuple(to_device(dl, dtype) for dl in host_d)
     M = MgPrecond(
         ops=ops,
