@@ -629,19 +629,27 @@ def to_well_slab(A: CSRMatrix, dtype=jnp.float32, tiles_per_step: int = 64,
         start = np.maximum.accumulate(np.where(change, idx, 0))
         mult = idx - start                 # multiplicity within (s,b,lane)
         # plane key per entry = (step, bucket, mult); enumerate planes in
-        # that lexicographic order, contiguous per step
-        pk = (e_stp[order] * np.int64(nwin + SW) + e_bkt[order]) * 512 \
+        # that lexicographic order, contiguous per step. The multiplicity
+        # multiplier must exceed any per-(step,bucket,lane) entry count or
+        # keys alias across buckets (caught by the dense-row test at 512).
+        MLT = np.int64(1) << 24
+        assert int(mult.max(initial=0)) < MLT
+        pk = (e_stp[order] * np.int64(nwin + SW) + e_bkt[order]) * MLT \
             + mult
         upk, inv_pk = np.unique(pk, return_inverse=True)
-        plane_stp = (upk // 512) // np.int64(nwin + SW)
-        plane_wb = np.minimum(((upk // 512) % np.int64(nwin + SW)) * SW,
+        plane_stp = (upk // MLT) // np.int64(nwin + SW)
+        plane_wb = np.minimum(((upk // MLT) % np.int64(nwin + SW)) * SW,
                               nwin - SW)
         nplanes_step = np.zeros(steps, dtype=np.int64)
         np.add.at(nplanes_step, plane_stp, 1)
         # sanity guard: pathological per-lane collisions (many entries on
-        # one output lane of one bucket) make planes degenerate to ~1
-        # entry per 128-lane plane; bail to the v1 fallback instead
-        if int(nplanes_step.sum()) > max(1024, int(pm.sum()) // 8):
+        # one output lane of one bucket — a dense ROW) degenerate planes
+        # to ~1 entry each; and unbounded plane counts would blow HBM
+        # (each plane is ~1.7 KB of arrays). Healthy scattered remainders
+        # measure ~5-50 entries/plane at contest scale; bail to the v1
+        # fallback below ~2 entries/plane or above 64K planes.
+        tot_planes = int(nplanes_step.sum())
+        if tot_planes > max(4096, int(pm.sum()) // 2) or tot_planes > 65536:
             return None
         bps = (-(-np.maximum(nplanes_step, 1) // PB)).astype(np.int64)
         nbatch = int(bps.sum())

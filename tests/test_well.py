@@ -215,7 +215,7 @@ def test_well_slab_bails_on_lane_collisions():
 
     from gmres_tpu.ops.well import to_well_slab
 
-    n = 4096
+    n = 65536
     cols = np.arange(0, n, 2)  # one dense ROW: every entry on output lane 0
     A = sp.coo_matrix((np.ones(cols.size), (np.zeros(cols.size), cols)),
                       shape=(n, n)).tocsr()
