@@ -402,20 +402,13 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 2048,
             return as_operator(Ac.to_dia(dtype=dtype, pad_to=1024,
                                          max_diags=128),
                                logical_shape=Ac.shape)
-        if l == 0:
-            # the fine level carries most of the cycle's work: full router
-            return device_operator(Ac, dtype=dtype)
-        # coarse SA levels of rough-coefficient operators (PG planes with
-        # aggregated vias) defeat both the <=128-diagonal test and the
-        # hybrid's dense-diagonal analysis; each runs only 2-4 SpMVs per
-        # cycle, so skip the per-level hybrid ordering analysis (measured
-        # 33 s of the 50 s saddle-MG build at 2.1M, r5) and pack the slab
-        # directly.
-        from gmres_tpu.ops.well import to_well_slab
-
-        W = to_well_slab(Ac, dtype=dtype)
-        if W is not None:
-            return as_operator(W, logical_shape=Ac.shape)
+        # levels that miss the pure-DIA shortcut take the full router:
+        # a raw-slab level op measured 1.3 ms/SpMV at 524K where the
+        # hybrid's DIA+planes split runs ~0.1 ms — the cycle executes
+        # every transient iteration, so apply speed beats the router's
+        # one-time analysis seconds (an r5 slab shortcut here made the
+        # saddle-MG apply 34 ms and tripped the worker watchdog on
+        # 50-step flagship dispatches)
         return device_operator(Ac, dtype=dtype)
 
     ops = tuple(_level_op(l, Sl) for l, Sl in enumerate(host_S))
