@@ -1159,11 +1159,17 @@ def to_hybrid(A: CSRMatrix, dtype=jnp.float32, min_density: float = 0.25,
     # never touches the dense-diagonal part or the caller's vector basis,
     # it just bands the slab's windows; two O(n) gathers per apply.
     rest = None
-    if rest_csr.nnz <= _COO_PLANES_MIN:
+    f64 = jnp.dtype(dtype) == jnp.float64
+    if rest_csr.nnz <= _COO_PLANES_MIN or \
+            (f64 and rest_csr.nnz <= _COO_REST_MAX):
         # only TINY remainders stay on the XLA scatter-add COO path: its
         # ~16 ns/nnz made a 4K-entry remainder cost 67 us/apply (r5
         # profile) — 13x the whole DIA part — while the scatter-planes
-        # section handles the same entries in a few us
+        # section handles the same entries in a few us. EXCEPT f64
+        # operators (GMRES-IR true-residual copies): Mosaic has no f64
+        # vregs, so an f64 slab dispatches to the XLA-gather reference
+        # executor — far slower than COO. They run once per restart;
+        # COO's linear cost is the right trade there.
         rest = rest_csr.to_device_coo(dtype=dtype)
     else:
         rest = to_well_slab(rest_csr, dtype=dtype,
