@@ -970,13 +970,44 @@ def _well_pallas_enabled() -> bool:
     return os.environ.get("GMRES_TPU_PALLAS", "1") != "0"
 
 
+def _batchable(kernel_fn):
+    """Wrap a Pallas SpMV so jax.vmap maps it SEQUENTIALLY over the batch.
+
+    The kernels keep the whole x vector VMEM-resident; the default vmap
+    lifting batches that residency and overflows scoped VMEM at scale
+    (measured: the 2.1M ETBR sample sweep's 7-wide vmapped GMRES died in
+    compile at 17.6 MB > 16 MB). A lax.map over the batch runs each
+    sample's SpMV with the single-sample footprint — which is the only
+    schedule the resident-x design admits anyway."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(A, x):
+        return kernel_fn(A, x)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, A, x):
+        A_b, x_b = in_batched
+        if any(jax.tree_util.tree_leaves(A_b)):
+            raise NotImplementedError("batched slab operators")
+        if not x_b:
+            return f(A, x), False
+        return lax.map(lambda xi: f(A, xi), x), True
+
+    return f
+
+
+_well_spmv_b = _batchable(well_spmv)
+_well_slab_spmv_b = _batchable(well_slab_spmv)
+
+
 @_spmv_dispatch.register(WellMatrix)
 def _well_spmv_dispatch(A, x):
     # f64 (GMRES-IR high-precision operators) takes the XLA path: Mosaic
     # has no f64 vregs. It runs once per restart there, not per iteration.
     if (jax.default_backend() == "tpu" and _well_pallas_enabled()
             and A.vals.dtype in (jnp.float32, jnp.bfloat16)):
-        return well_spmv(A, x)
+        return _well_spmv_b(A, x)
     return well_spmv_reference(A, x)
 
 
@@ -984,7 +1015,7 @@ def _well_spmv_dispatch(A, x):
 def _well_slab_spmv_dispatch(A, x):
     if (jax.default_backend() == "tpu" and _well_pallas_enabled()
             and A.vals.dtype in (jnp.float32, jnp.bfloat16)):
-        return well_slab_spmv(A, x)
+        return _well_slab_spmv_b(A, x)
     return well_slab_spmv_reference(A, x)
 
 
