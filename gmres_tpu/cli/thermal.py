@@ -24,7 +24,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("gcb_dir", help="directory with A/B/C/u_vec/t_step .mtx")
     ap.add_argument("-precond", default="ilu0",
                     choices=["auto", "none", "diag", "jacobi", "ilu0",
-                             "iluk", "ainv"],
+                             "iluk", "ainv", "mg"],
                     help="default ilu0 matches the reference's menu default "
                          "(main2.cu:55-80); auto resolves to ainv on the "
                          "grounded thermal systems (cheapest device apply)")
