@@ -192,20 +192,13 @@ def main(argv=None) -> int:
                     print(f"* -np {args.nparts} clamped to {nparts} "
                           f"(visible devices)")
                 mesh = make_mesh(n_rows=nparts)
-                dprec = args.precond
-                if dprec in ("ilutp", "ilupp"):
-                    # the multilevel-pivoting class alone has no
-                    # shard-aligned form (its level-scheduled trisolve is
-                    # serial across shards); say so LOUDLY and use
-                    # block-ILU. auto/saddle run the full shard-aligned
-                    # constraint-Schur preconditioner (DistSaddlePrecond).
-                    print(f"* -np {nparts}: preconditioner "
-                          f"{args.precond!r} has no shard-aligned form; "
-                          f"DOWNGRADING to block-'iluk' (expect more "
-                          f"iterations/step than single-chip)")
-                    dprec = "iluk"
+                # every preconditioner class has a shard-aligned form:
+                # auto/saddle -> DistSaddlePrecond (constraint-Schur),
+                # ilutp/ilupp -> block-ILUTP (per-shard pivoting spilu),
+                # ilu0/iluk -> block-ILU, ainv -> shard-blocked AINV
                 res = dist_transient_gmres(
-                    mna, mesh, precond=dprec, dtype=dtype, tol=args.tol,
+                    mna, mesh, precond=args.precond, dtype=dtype,
+                    tol=args.tol,
                     restart=args.restart, dc_method=args.dcmethod,
                     chunk_steps=args.chunk, refine=args.refine,
                 )

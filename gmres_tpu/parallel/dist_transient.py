@@ -110,7 +110,9 @@ def dist_transient_gmres(
     state are partitioned with one shared RowPartition (RCM + balanced
     blocks); per-step solves warm-start from the sharded previous state.
     ``precond``: jacobi | ainv (shard-aligned block AINV, comm-free apply) |
-    ilu0/iluk (block-Jacobi ILU). Ports are extracted per step with one tiny
+    ilu0/iluk (block-Jacobi ILU) | ilutp/ilupp (block-Jacobi ILUTP: per-
+    shard pivoting spilu, MyILUPP's distributed counterpart) |
+    saddle/auto (constraint-Schur). Ports are extracted per step with one tiny
     psum. Raises ValueError on netlists without a ``.tran`` directive.
 
     ``equilibrate``: Ruiz-scale the whole recurrence first (Dr A Dc, Dr Ch

