@@ -15,8 +15,8 @@ import jax
 
 from gmres_tpu.ops.spmv import spmv as _spmv
 
-__all__ = ["FnOp", "MatOp", "ComposeOp", "IdentityOp", "ShiftedOp",
-           "as_operator", "identity"]
+__all__ = ["FnOp", "MatOp", "DenseOp", "ComposeOp", "IdentityOp",
+           "ShiftedOp", "as_operator", "identity"]
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=["fn"])
@@ -39,6 +39,23 @@ class MatOp:
 
     def __call__(self, v):
         return _spmv(self.A, v)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["A"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class DenseOp:
+    """y = A @ x with a DENSE device matrix riding the MXU.
+
+    For small operators (coarse multigrid levels, reduced ETBR systems)
+    where any sparse-format host analysis costs more seconds at build time
+    than the dense stream ever costs at apply time (a 4096^2 f32 matvec
+    reads 67 MB -> ~80 us at HBM roofline). The array is pytree DATA, not a
+    closure constant, so jitted callers cache one program across rebuilds."""
+
+    A: jax.Array  # (n, n)
+
+    def __call__(self, v):
+        return self.A @ v
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=["A"],
@@ -124,8 +141,8 @@ def as_operator(A, logical_shape=None) -> Any:
         elif ln is not None and ln >= 0 and ln != A.shape[0]:
             return PaddedMatOp(A, rows=int(ln), cols=int(ln))
         return MatOp(A)
-    if isinstance(A, (FnOp, MatOp, ComposeOp, IdentityOp, PaddedMatOp,
-                      ShiftedOp)):
+    if isinstance(A, (FnOp, MatOp, DenseOp, ComposeOp, IdentityOp,
+                      PaddedMatOp, ShiftedOp)):
         return A
     if dataclasses.is_dataclass(A) and callable(A):
         # registered preconditioner pytrees (JacobiPrecond, AinvPrecond, ...)

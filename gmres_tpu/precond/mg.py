@@ -393,22 +393,40 @@ def mg(A: CSRMatrix, *, dtype=jnp.float32, n_coarse: int = 2048,
     # diagonals on a coarse level cost microseconds per apply, the
     # analysis cost seconds per build.
     def _level_op(l, Sl):
-        from gmres_tpu.ops.operator import as_operator
+        from gmres_tpu.ops.operator import DenseOp, as_operator
 
+        n = Sl.shape[0]
+        if l > 0 and n <= 8192:
+            # small coarse level: dense MXU matvec. SA coarsening fills
+            # these to >50% anyway (2.1M hierarchy: n=4096 has 2.1M nnz
+            # over 787 diagonals); a 4096^2 f32 matvec reads 67 MB
+            # (~80 us) while the sparse router's host analysis costs
+            # seconds per build (r5 profile: 16.6 of the 31.3 s mg()
+            # build was _level_op, VERDICT r4 weak #5)
+            return DenseOp(A=to_device(Sl.toarray(), dtype))
         Ac = CSRMatrix.from_scipy(Sl)
-        rows = np.repeat(np.arange(Sl.shape[0]), np.diff(Ac.indptr))
+        rows = np.repeat(np.arange(n), np.diff(Ac.indptr))
         ndiag = np.unique(Ac.indices.astype(np.int64) - rows).size
-        if ndiag <= 128:
+        itemsize = np.dtype(np.float32).itemsize if dtype != jnp.float64 \
+            else 8
+        slab_bytes = ndiag * (((n + 1023) // 1024) * 1024) * itemsize
+        fill = Ac.nnz / max(ndiag * n, 1)
+        if ndiag <= 128 or (ndiag <= 512 and slab_bytes <= 96 << 20
+                            and fill >= 0.25):
+            # mid levels: pure DIA even past the generic 128-diagonal cap
+            # when the slab is byte-bounded and actually full — a
+            # 179-diagonal 32K level is a 23 MB slab (~30 us/apply at
+            # roofline), vs ~5 s of WELL/hybrid packing per build
             return as_operator(Ac.to_dia(dtype=dtype, pad_to=1024,
-                                         max_diags=128),
+                                         max_diags=512),
                                logical_shape=Ac.shape)
-        # levels that miss the pure-DIA shortcut take the full router:
-        # a raw-slab level op measured 1.3 ms/SpMV at 524K where the
-        # hybrid's DIA+planes split runs ~0.1 ms — the cycle executes
-        # every transient iteration, so apply speed beats the router's
-        # one-time analysis seconds (an r5 slab shortcut here made the
-        # saddle-MG apply 34 ms and tripped the worker watchdog on
-        # 50-step flagship dispatches)
+        # remaining levels take the full router: a raw-slab level op
+        # measured 1.3 ms/SpMV at 524K where the hybrid's DIA+planes
+        # split runs ~0.1 ms — the cycle executes every transient
+        # iteration, so apply speed beats the router's one-time analysis
+        # seconds (an r5 slab shortcut here made the saddle-MG apply
+        # 34 ms and tripped the worker watchdog on 50-step flagship
+        # dispatches)
         return device_operator(Ac, dtype=dtype)
 
     ops = tuple(_level_op(l, Sl) for l, Sl in enumerate(host_S))
