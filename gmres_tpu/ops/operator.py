@@ -12,6 +12,7 @@ from functools import partial
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 
 from gmres_tpu.ops.spmv import spmv as _spmv
 
@@ -50,12 +51,20 @@ class DenseOp:
     where any sparse-format host analysis costs more seconds at build time
     than the dense stream ever costs at apply time (a 4096^2 f32 matvec
     reads 67 MB -> ~80 us at HBM roofline). The array is pytree DATA, not a
-    closure constant, so jitted callers cache one program across rebuilds."""
+    closure constant, so jitted callers cache one program across rebuilds.
+
+    Precision is pinned to HIGHEST: TPU f32 matmuls default to fast bf16
+    MXU passes. Measured at the 2.1M flagship the default did NOT move
+    iteration counts (bit-identical 50-step port waveforms either way —
+    the V-cycle is a preconditioner and GMRES absorbs the rounding), but
+    these matrices are small enough that f32-equivalent passes cost
+    microseconds, so exactness is free — and a DenseOp used OUTSIDE a
+    preconditioner (e.g. as a GMRES operator) must not silently truncate."""
 
     A: jax.Array  # (n, n)
 
     def __call__(self, v):
-        return self.A @ v
+        return jnp.dot(self.A, v, precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=["A"],

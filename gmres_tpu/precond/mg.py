@@ -202,7 +202,10 @@ class MgPrecond:
 
     def _cycle(self, l: int, b: jax.Array) -> jax.Array:
         if l == len(self.ops):
-            return self.coarse_inv @ b
+            # HIGHEST: TPU f32 matmuls default to bf16 MXU passes; the
+            # coarse solve anchors the cycle, and the matrix is tiny
+            return jnp.dot(self.coarse_inv, b,
+                           precision=jax.lax.Precision.HIGHEST)
         A, invd = self.ops[l], self.inv_diags[l]
         x = self._smooth(l, b, None)
         r = b - A(x)
