@@ -39,8 +39,14 @@ __all__ = [
 # src_thermal/main2.cu:55-80, TVLSI §V).
 _T_SPMV_PER_NNZ = 5e-12    # DIA/hybrid SpMV s/nnz (206 Gnnz/s measured)
 _T_ITER_FIXED = 6e-5       # per-GMRES-iteration fixed cost (CGS2, norms)
-_AINV_SETUP_PER_ROW = 5.5e-6   # 11.3 s at 2.1M (gmres_ainv_setup_s)
-_MG_SETUP_PER_ROW = 1.6e-5     # 33.7 s at 2.1M (gmres_mg_setup_s)
+_AINV_SETUP_PER_ROW = 4.0e-6   # 7.9 s at 2.1M (gmres_ainv_setup_s, r5)
+_MG_SETUP_PER_ROW = 6.0e-6     # 12.5 s at 2.1M after exact-format level
+                               # ops (was 33.7 s / 1.6e-5 pre-r5-opt).
+                               # The r5 setup cut moves the mg crossover
+                               # from ~50K warm steps to ~220 at 32K rows
+                               # / ~3400 at 524K — the 524K/64-step
+                               # measured gate case still resolves ainv
+                               # (pinned in tests/test_precond.py)
 _AINV_APPLY_SPMVS = 2.2    # Z/Wt SpMVs + diagonal scale
 _MG_APPLY_SPMVS = 6.0      # V-cycle: smoothers + transfers + coarse solve
 _AINV_ITERS_WARM = 9.0     # warm-started transient steps (524K GCB log)

@@ -199,10 +199,24 @@ def test_auto_policy_amortized_cost_model():
     A = CSRMatrix.from_scipy(
         (sp.kron(sp.kron(I, I), T) + sp.kron(sp.kron(I, T), I)
          + sp.kron(sp.kron(T, I), I) + 0.05 * sp.eye(nx ** 3)).tocsr())
-    assert resolve_precond("auto", A, steps=1000) == "ainv"
     assert resolve_precond("auto", A, steps=100) == "ainv"
+    # after the r5 exact-format level ops halved the MG build, the
+    # amortization crossover at 32K rows moved from ~50K warm steps to
+    # ~220 — 1000-step runs now rightly take mg
+    assert resolve_precond("auto", A, steps=1000) == "mg"
     assert resolve_precond("auto", A, steps=50000) == "mg"
     assert resolve_precond("auto", A) == "ainv"          # one-shot
     assert resolve_precond("auto", A, steps=1) == "ainv"
+    # the MEASURED gate case (thermal512k_auto_r5.log): 524K-row grid,
+    # 64-step transient -> ainv beat mg 12.5 s vs 113-227 s end-to-end;
+    # the policy must keep resolving it to ainv whatever the constants
+    nx5 = 80  # 512000 rows
+    e5 = np.ones(nx5)
+    T5 = sp.diags([-e5[:-1], 2 * e5, -e5[:-1]], [-1, 0, 1])
+    I5 = sp.eye(nx5)
+    A5 = CSRMatrix.from_scipy(
+        (sp.kron(sp.kron(I5, I5), T5) + sp.kron(sp.kron(I5, T5), I5)
+         + sp.kron(sp.kron(T5, I5), I5) + 0.05 * sp.eye(nx5 ** 3)).tocsr())
+    assert resolve_precond("auto", A5, steps=64) == "ainv"
     # explicit names pass through untouched
     assert resolve_precond("mg", A, steps=10) == "mg"
