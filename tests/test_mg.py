@@ -120,7 +120,10 @@ def test_resolve_auto_picks_mg_on_grids():
 
     A = CSRMatrix.from_scipy(_poisson3d(32))       # 32768 rows
     assert resolve_precond("auto", A, steps=50000) == "mg"
-    assert resolve_precond("auto", A, steps=1000) == "ainv"
+    # r5 recalibration: the halved MG build moved the 32K crossover to
+    # ~220 warm steps, so 1000-step runs now take mg; 100-step stay ainv
+    assert resolve_precond("auto", A, steps=1000) == "mg"
+    assert resolve_precond("auto", A, steps=100) == "ainv"
     small = CSRMatrix.from_scipy(_poisson3d(8))
     assert resolve_precond("auto", small) == "ainv"
 
@@ -208,3 +211,53 @@ def test_probe_rejects_heterogeneous_coefficients():
     A3 = (sp.kron(sp.kron(I, I), T) + sp.kron(sp.kron(I, T), I)
           + sp.kron(sp.kron(T, I), I) + 0.05 * sp.eye(nc ** 3))
     assert mg(CSRMatrix.from_scipy(A3.tocsr()), n_coarse=256) is not None
+
+
+def test_level_op_exact_formats():
+    """r5 level-op routing (_level_op): small coarse levels become DENSE
+    MXU matvecs (DenseOp), mid levels pure DIA past the generic
+    128-diagonal cap — both EXACT formats, so every level operator must
+    match its host matrix to f32 roundoff (the bf16-default pitfall is
+    pinned by the HIGHEST-precision dot in DenseOp)."""
+    from gmres_tpu.ops.operator import DenseOp
+    from gmres_tpu.precond.mg import mg as build_mg
+
+    # 64^3 = 262144 rows: levels 262144 / 32768 / 4096 / coarse 512 — the
+    # n=4096 level exercises the dense branch
+    A = CSRMatrix.from_scipy(_poisson3d(64))
+    M = build_mg(A)
+    assert M is not None
+    # the hierarchy bottoms out in at least one DenseOp level
+    assert any(isinstance(op, DenseOp) for op in M.ops[1:])
+    # the fine-level op reproduces the host matrix it was built from
+    rng = np.random.default_rng(0)
+    n = A.shape[0]
+    v = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(M.ops[0](jnp.asarray(v)))[:n]
+    ref = A.to_scipy().astype(np.float64) @ v.astype(np.float64)
+    err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    assert err < 1e-6, err
+    # every coarser level op is finite on a probe vector
+    for l, op in enumerate(M.ops[1:], start=1):
+        nl = (M.dims[l][0] * M.dims[l][1] * M.dims[l][2] + M.tails[l])
+        vl = rng.standard_normal(nl).astype(np.float32)
+        assert np.all(np.isfinite(np.asarray(op(jnp.asarray(vl)))))
+
+
+def test_dense_op_highest_precision():
+    """DenseOp must not silently truncate to bf16: a matvec whose answer
+    needs more than bf16's 8 mantissa bits must come out f32-exact."""
+    import jax
+
+    from gmres_tpu.ops.operator import DenseOp
+
+    n = 256
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    v = rng.standard_normal(n).astype(np.float32)
+    # op as a jit ARGUMENT (pytree data), the production calling shape
+    y = np.asarray(jax.jit(lambda o, x: o(x))(
+        DenseOp(A=jnp.asarray(A)), jnp.asarray(v)))
+    ref = A.astype(np.float64) @ v.astype(np.float64)
+    err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    assert err < 1e-6, err  # bf16 passes would land ~1e-2
